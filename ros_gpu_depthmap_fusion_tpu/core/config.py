@@ -1,0 +1,128 @@
+"""Engine configuration.
+
+One dataclass with the same semantic fields (and defaults) as the reference's
+ROS parameter set (``src/gpu_depthmap_fusion_component.cpp:1115-1187``) plus
+the launch-file operating points (``launch/gpu_depthmap_fusion.launch``), and
+the TPU-specific capacity/sharding knobs that replace the reference's
+dynamically grown SSBOs (static XLA shapes require explicit capacities).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """All engine parameters.
+
+    Field names follow the reference ROS params where a direct analog exists;
+    reference defaults are kept so a reference launch file maps 1:1.
+    """
+
+    # --- input streams (reference: num_maps / num_seqs) ---
+    num_depth_streams: int = 1          # up to 6 in the reference sync policy
+    num_point_sequences: int = 0        # lidar "point sequence" streams
+    depth_height: int = 480
+    depth_width: int = 848              # RealSense D4xx default shape
+    depth_scale: float = 0.001          # u16 depth unit -> meters
+
+    # --- frames (kept for dataset/TF bookkeeping on host) ---
+    world_frame: str = "world"
+    crop_frame: str = "crop"
+    move_frame: str = "move"
+    obj_export_frame: str = "world"
+
+    # --- processing rate ---
+    resample_rate: float = 30.0         # Hz; launch default 30 (launch:29-32)
+    tracking_dt: float = 1.0 / 30.0     # fixed dt (gpu_depthmap_fusion.cpp:2730)
+
+    # --- crop AABB (crop-frame axis aligned box; crop_points.glsl:56-58) ---
+    crop_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    crop_max: Tuple[float, float, float] = (+1.0, +1.0, +1.0)
+
+    # --- flying-pixel filter (filter_flying_pixels.glsl) ---
+    enable_flyingpixels_filter: bool = True
+    flyingpixels_filter_threshold: float = 0.5   # cos(view angle) threshold
+    flyingpixels_filter_size: int = 1            # rings i=1..size
+    flyingpixels_filter_enable_rot45: bool = True
+    flyingpixels_max_distance: float = 10.0      # glsl:41 uniform default
+
+    # --- point-sequence (lidar) filter (filter_point_sequence.glsl) ---
+    point_sequence_filter_threshold: float = 0.5
+    point_sequence_filter_size: int = 1
+    point_sequence_aggregation_timespan: float = 0.1  # seconds
+
+    # --- voxel filter / grid (compute_voxel_coords.glsl + GridMeta) ---
+    enable_voxel_filter: bool = True
+    voxel_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    voxel_max: Tuple[float, float, float] = (+1.0, +1.0, +1.0)
+    voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    voxel_enable_average: bool = True   # average-mode vs occupied-cell-centers
+    voxel_occupancy_lifetime: int = 1   # frames; launch default 10
+
+    # --- segmentation / tracking ---
+    object_min_area: float = 0.2 * 0.2  # m^2 in topview
+    cc_max_labels_per_layer: int = 256  # static cap for per-layer CC labels
+    max_objects: int = 64               # static cap for extracted objects
+    max_tracks: int = 128               # static cap for live tracks
+
+    # --- radius filter: params exist in the reference but the filter is
+    # unimplemented there (component.cpp:414-421); kept for config parity ---
+    enable_radius_filter: bool = False
+    radius_filter_radius: float = 0.1
+    radius_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    radius_max: Tuple[float, float, float] = (+1.0, +1.0, +1.0)
+
+    # --- TPU capacities (replace the reference's grow-only SSBO resizing;
+    # XLA needs static shapes, overflow is explicit: excess points dropped
+    # with their mask cleared) ---
+    rollbuffer_point_capacity: int = 131072   # ref practical cap ~100k pts
+    rollbuffer_seq_capacity: int = 1024       # max live sequences in window
+    max_points_per_sequence: int = 32768      # staging cap per lidar packet
+
+    # --- misc ---
+    enable_debug_output: bool = False
+    dtype: str = "float32"              # compute dtype for point math
+
+    # ------------------------------------------------------------------
+    @property
+    def depth_pixels_per_stream(self) -> int:
+        return self.depth_height * self.depth_width
+
+    @property
+    def depthmaps_total_elements(self) -> int:
+        """Total depth-derived point slots (ref: m_depthmapsTotalElements)."""
+        return self.num_depth_streams * self.depth_pixels_per_stream
+
+    @property
+    def total_point_capacity(self) -> int:
+        """Depth points + rollbuffer selection capacity (ref: m_numPointsTotal
+        upper bound, gpu_depthmap_fusion.cpp:1500)."""
+        return self.depthmaps_total_elements + self.rollbuffer_point_capacity
+
+    def replace(self, **kw) -> "FusionConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Launch-file deployment presets (launch/gpu_depthmap_fusion.launch:144-181).
+PRESET_HAFEN = FusionConfig(
+    num_depth_streams=6,
+    voxel_min=(-20.0, -20.0, 0.0),
+    voxel_max=(+20.0, +20.0, 2.5),
+    voxel_size=(0.1, 0.1, 0.12),      # 400 x 400 x 21 ~ 3.4M cells
+    crop_min=(-20.0, -20.0, 0.0),
+    crop_max=(+20.0, +20.0, 2.5),
+    voxel_occupancy_lifetime=10,
+)
+
+PRESET_OFFICE = FusionConfig(
+    num_depth_streams=2,
+    voxel_min=(-4.0, -4.0, 0.0),
+    voxel_max=(+4.0, +4.0, 2.5),
+    voxel_size=(0.1, 0.1, 0.1),
+    crop_min=(-4.0, -4.0, 0.0),
+    crop_max=(+4.0, +4.0, 2.5),
+    voxel_occupancy_lifetime=10,
+)

@@ -1,0 +1,74 @@
+"""Depth-map unprojection.
+
+TPU-native equivalent of ``shader/convert_depthmap_to_points.glsl`` (the
+``compute_convert_depthmap_to_points`` kernel): unproject u16 depth through
+pinhole intrinsics to camera-frame points and simultaneously produce
+world-frame and crop-frame copies plus the validity mask (zero depth ->
+masked out with zeroed points, glsl:102-107).
+
+Differences from the reference, by design:
+- Depth arrives as a ``[C, H, W]`` u16 image batch instead of a flat buffer
+  of u32-packed depth pairs (the u32 packing was an SSBO-layout artifact;
+  pack/unpack parity ops live in :mod:`ops.pack`).
+- The three outputs (camera/world/crop) are produced by one fused expression;
+  the two 4x4 transforms lower onto the MXU as ``[C*H*W, 4] @ [4, 4]``
+  matmuls, and XLA fuses the unprojection arithmetic into them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def unproject_depthmaps(depth_u16: jnp.ndarray,
+                        intrinsics: jnp.ndarray,
+                        tf_world: jnp.ndarray,
+                        tf_crop: jnp.ndarray,
+                        depth_scale: float):
+    """Unproject a batch of depth maps.
+
+    Args:
+        depth_u16:  ``[C, H, W]`` uint16 (or uint32-valued) depth images.
+        intrinsics: ``[C, 4]`` float (fx, fy, cx, cy) per camera.
+        tf_world:   ``[C, 4, 4]`` world <- camera transforms.
+        tf_crop:    ``[C, 4, 4]`` crop  <- camera transforms.
+        depth_scale: depth unit -> meters (default 1e-3).
+
+    Returns:
+        points_cam, points_world, points_crop: ``[C, H*W, 4]`` float32
+        homogeneous points (zeros where invalid), and mask ``[C, H*W]`` bool.
+    """
+    c, h, w = depth_u16.shape
+    depth = depth_u16.reshape(c, h * w).astype(jnp.float32)
+    mask = depth > 0
+
+    # pixel coordinates from the linear index (glsl:75-81 rectify is identity:
+    # u = idx % width, v = idx // width)
+    lin = jnp.arange(h * w, dtype=jnp.int32)
+    u = (lin % w).astype(jnp.float32)[None, :]          # [1, HW]
+    v = (lin // w).astype(jnp.float32)[None, :]
+
+    fx = intrinsics[:, 0:1]
+    fy = intrinsics[:, 1:2]
+    cx = intrinsics[:, 2:3]
+    cy = intrinsics[:, 3:4]
+
+    z = depth * depth_scale
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    ones = jnp.ones_like(z)
+
+    points_cam = jnp.stack([x, y, z, ones], axis=-1)    # [C, HW, 4]
+    points_cam = jnp.where(mask[..., None], points_cam, 0.0)
+
+    # one batched MXU matmul per output frame; masked rows stay zero because
+    # a zero homogeneous point maps to zero under  points @ T^T
+    points_world = jnp.einsum("chw,cvw->chv", points_cam, tf_world,
+                              precision=jax.lax.Precision.HIGHEST)
+    points_world = jnp.where(mask[..., None], points_world, 0.0)
+    points_crop = jnp.einsum("chw,cvw->chv", points_cam, tf_crop,
+                             precision=jax.lax.Precision.HIGHEST)
+    points_crop = jnp.where(mask[..., None], points_crop, 0.0)
+
+    return points_cam, points_world, points_crop, mask

@@ -1,0 +1,61 @@
+"""Voxel occupancy ops.
+
+TPU-native equivalents of the occupancy kernel group
+(``gpu_depthmap_fusion.cpp:1757-1823`` orchestration):
+
+- ``compute_voxel_coords``  -> :meth:`core.grid.VoxelGrid.cell_index_clamped`
+- ``zero_uints`` + ``voxel_grid_occupancy_of_points`` (racy atomic scatter of
+  1s, glsl:38-39) -> :func:`scatter_occupancy` — an idempotent ``max``
+  scatter, deterministic by construction.
+- ``decrement_uints`` (saturating age) + ``max_with_uints_times_scalar``
+  (merge fresh occupancy x lifetime) -> :func:`update_historic_occupancy`,
+  one fused elementwise expression.
+- ``uints_to_chars`` pack for download -> :func:`occupancy_to_u8`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def scatter_occupancy(cell_indices: jnp.ndarray,
+                      mask: jnp.ndarray,
+                      num_cells: int,
+                      occupied_value: int = 1) -> jnp.ndarray:
+    """Scatter ``occupied_value`` into a fresh ``[num_cells]`` int32 grid at
+    each valid point's cell index. Benign write races in the reference become
+    a deterministic ``max`` scatter here (same result: occupancy is
+    idempotent)."""
+    target = jnp.where(mask, cell_indices, num_cells)  # invalid -> dropped
+    occ = jnp.zeros((num_cells,), dtype=jnp.int32)
+    return occ.at[target].max(jnp.int32(occupied_value), mode="drop")
+
+
+def update_historic_occupancy(historic: jnp.ndarray,
+                              fresh: jnp.ndarray,
+                              lifetime: int,
+                              decrement: int = 1,
+                              min_value: int = 0) -> jnp.ndarray:
+    """One temporal-decay step of the historic occupancy grid.
+
+    Reference order (gpu_depthmap_fusion.cpp:1796-1812): age the historic
+    grid by a saturating decrement, then take the elementwise max with the
+    fresh occupancy scaled by ``lifetime``. A freshly seen cell therefore
+    holds ``lifetime`` and fades by ``decrement`` per frame once unseen.
+    """
+    aged = jnp.maximum(historic - decrement, min_value)
+    return jnp.maximum(aged, fresh * lifetime)
+
+
+def occupancy_to_u8(grid: jnp.ndarray) -> jnp.ndarray:
+    """int32 occupancy -> u8 (the reference packs 4 cells per u32 for
+    download, uints_to_chars; here a plain clamp-cast)."""
+    return jnp.clip(grid, 0, 255).astype(jnp.uint8)
+
+
+def occupancy_layers(grid_u8: jnp.ndarray, grid_size) -> jnp.ndarray:
+    """Reshape the flat x-fastest grid into ``[Z, Y, X]`` layer images,
+    mirroring the reference's per-layer cv::Mat views
+    (gpu_depthmap_fusion.cpp:1829-1838)."""
+    w, h, z = grid_size
+    return grid_u8.reshape(z, h, w)

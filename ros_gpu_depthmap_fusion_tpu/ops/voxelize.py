@@ -1,0 +1,154 @@
+"""On-device voxelization (downsampling points into grid cells).
+
+The reference's biggest structural weakness is here: it downloads ~2.4M
+point cell-ids to the host, radix-sorts + groups them on CPU with OpenMP
+(``voxelize.h:74-105``, ``radix_sort.h``, ``radix_grouper.h``) and averages
+per-cell members, every frame. The TPU design keeps the whole stage on
+device as segment reductions over the dense grid:
+
+- average mode (``averageGridCells``, voxelize.h:9-48): scatter-add point
+  coordinates + counts over cells, then compact occupied cells -> per-cell
+  mean points.
+- occupied mode (``occupiedGridCells``, voxelize.h:50-71): compact occupied
+  cells -> world coordinate of each cell's lower corner
+  (``GridMeta::worldCoord``).
+
+Both modes emit cells in ascending cell-index order — the same order the
+reference's radix grouper produces.
+
+The *capability* of the standalone radix sorter/grouper (sort u32 keys
+carrying payload indices, run-length group equal keys) is provided by
+:func:`sort_by_key` / :func:`group_by_key` built on ``jax.lax.sort``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import compact_multi
+
+
+def voxelize_average(points: jnp.ndarray,
+                     cell_indices: jnp.ndarray,
+                     mask: jnp.ndarray,
+                     grid: VoxelGrid,
+                     capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean point per occupied cell.
+
+    Args:
+        points:       ``[N, 4]`` homogeneous points (w=1 when valid).
+        cell_indices: ``[N]`` int32 linear cell ids.
+        mask:         ``[N]`` bool validity.
+        capacity:     static max number of emitted cells.
+
+    Returns:
+        (``[capacity, 4]`` mean points, count). Means of the homogeneous
+        w component are exact 1s for valid cells by construction.
+    """
+    num_cells = grid.num_cells
+    target = jnp.where(mask, cell_indices, num_cells)
+    sums = jnp.zeros((num_cells, 4), dtype=points.dtype)
+    sums = sums.at[target].add(jnp.where(mask[:, None], points, 0.0),
+                               mode="drop")
+    counts = jnp.zeros((num_cells,), dtype=jnp.int32)
+    counts = counts.at[target].add(jnp.where(mask, 1, 0), mode="drop")
+
+    occupied = counts > 0
+    means = sums / jnp.maximum(counts[:, None], 1).astype(points.dtype)
+    (out_points,), count = compact_multi((means,), occupied, capacity)
+    return out_points, count
+
+
+def voxelize_occupied(occupancy: jnp.ndarray,
+                      grid: VoxelGrid,
+                      capacity: int,
+                      dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World coordinates (cell lower corners, w=1) of occupied cells from a
+    dense ``[num_cells]`` occupancy vector."""
+    occupied = occupancy > 0
+    cell_ids = jnp.arange(grid.num_cells, dtype=jnp.int32)
+    xyz = grid.world_coord_of_index(cell_ids, dtype=dtype)
+    pts = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=-1)
+    (out_points,), count = compact_multi((pts,), occupied, capacity)
+    return out_points, count
+
+
+# ---------------------------------------------------------------------------
+# Sort/group capability (reference RadixSorter / RadixGrouper / UIntGrouper)
+# ---------------------------------------------------------------------------
+
+def sort_by_key(keys: jnp.ndarray, *payloads) -> Tuple[jnp.ndarray, ...]:
+    """Stable ascending sort of u32/i32 keys carrying payload arrays
+    (reference ``RadixSorter::sort``, radix_sort.h:108-239)."""
+    return jax.lax.sort((keys,) + payloads, dimension=0, is_stable=True,
+                        num_keys=1)
+
+
+def group_by_key(keys: jnp.ndarray,
+                 mask: jnp.ndarray,
+                 group_capacity: int):
+    """Sort + run-length-encode equal keys (reference ``RadixGrouper::group``,
+    radix_grouper.h:35-64).
+
+    Invalid entries are sorted to the end (key replaced by int32 max) and
+    excluded from groups.
+
+    Returns dict with:
+        sorted_indices ``[N]``  — original index per sorted slot,
+        group_starts   ``[group_capacity]`` — start slot of each group,
+        group_sizes    ``[group_capacity]``,
+        group_values   ``[group_capacity]`` — the shared key,
+        num_groups     scalar int32.
+    """
+    n = keys.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+    k = jnp.where(mask, keys.astype(jnp.int32), big)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ks, sorted_idx = sort_by_key(k, idx)
+
+    valid = ks != big
+    is_start = valid & jnp.concatenate(
+        [jnp.array([True]), ks[1:] != ks[:-1]])
+    starts_all = jnp.arange(n, dtype=jnp.int32)
+    (group_starts, group_values), num_groups = compact_multi(
+        (starts_all, ks), is_start, group_capacity)
+    # size = next group's start - own start; last group ends at valid count
+    valid_count = jnp.sum(valid.astype(jnp.int32))
+    next_starts = jnp.concatenate(
+        [group_starts[1:], jnp.array([0], dtype=jnp.int32)])
+    gi = jnp.arange(group_capacity, dtype=jnp.int32)
+    ends = jnp.where(gi == num_groups - 1, valid_count, next_starts)
+    group_sizes = jnp.where(gi < num_groups, ends - group_starts, 0)
+    return {
+        "sorted_indices": sorted_idx,
+        "sorted_keys": ks,
+        "group_starts": group_starts,
+        "group_sizes": group_sizes,
+        "group_values": group_values,
+        "num_groups": num_groups,
+    }
+
+
+def bincount_group(values: jnp.ndarray,
+                   mask: jnp.ndarray,
+                   num_bins: int):
+    """O(N + M) counting-sort grouping by small-integer key (reference
+    ``UIntGrouper::group``, uint_grouper.h:44-102): per-bin counts + the
+    stable permutation that groups equal keys.
+
+    Returns (counts ``[num_bins]``, starts ``[num_bins]``,
+    grouped_indices ``[N]`` — original indices ordered by bin).
+    """
+    n = values.shape[0]
+    target = jnp.where(mask, values.astype(jnp.int32), num_bins)
+    counts = jnp.zeros((num_bins,), jnp.int32).at[target].add(
+        jnp.where(mask, 1, 0), mode="drop")
+    starts = jnp.cumsum(counts) - counts
+    # stable within-bin order via sort on the key with index payload
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, grouped_indices = sort_by_key(target, idx)
+    return counts, starts, grouped_indices

@@ -1,0 +1,12 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding tests run anywhere (SURVEY.md §4 strategy), before jax is
+imported by any test module."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,117 @@
+"""Voxel op tests against the NumPy GLSL oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+from ros_gpu_depthmap_fusion_tpu.core import transforms
+from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
+    scatter_occupancy, update_historic_occupancy, occupancy_to_u8,
+    occupancy_layers)
+from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
+    voxelize_average, voxelize_occupied, group_by_key, bincount_group)
+
+import oracles
+
+
+GRID = VoxelGrid(lower=(-1, -1, 0), upper=(1, 1, 1), cell_size=(0.25, 0.25, 0.5))
+
+
+def _points(seed=0, n=500):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-1.3, 1.3, size=(n, 3)).astype(np.float32)
+    mask = rng.random(n) < 0.85
+    return transforms.to_homogeneous(xyz), mask
+
+
+def test_cell_index_matches_oracle():
+    pts, _ = _points()
+    got = np.asarray(GRID.cell_index_clamped(jnp.asarray(pts[:, :3])))
+    want, gsize = oracles.voxel_coords_oracle(
+        pts, GRID.lower, GRID.upper, GRID.cell_size)
+    assert tuple(gsize) == GRID.grid_size
+    np.testing.assert_array_equal(got, want)
+
+
+def test_scatter_occupancy():
+    pts, mask = _points(1)
+    ids = GRID.cell_index_clamped(jnp.asarray(pts[:, :3]))
+    occ = np.asarray(scatter_occupancy(ids, jnp.asarray(mask), GRID.num_cells))
+    want = np.zeros(GRID.num_cells, np.int32)
+    want[np.unique(np.asarray(ids)[mask])] = 1
+    np.testing.assert_array_equal(occ, want)
+
+
+def test_historic_update_matches_oracle():
+    rng = np.random.default_rng(2)
+    hist = rng.integers(0, 12, size=64).astype(np.int32)
+    fresh = (rng.random(64) < 0.3).astype(np.int32)
+    got = np.asarray(update_historic_occupancy(
+        jnp.asarray(hist), jnp.asarray(fresh), lifetime=10))
+    want = oracles.occupancy_update_oracle(hist, fresh, 10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_historic_decay_to_zero():
+    hist = jnp.asarray([3, 1, 0], dtype=jnp.int32)
+    fresh = jnp.zeros(3, jnp.int32)
+    for expect in ([2, 0, 0], [1, 0, 0], [0, 0, 0], [0, 0, 0]):
+        hist = update_historic_occupancy(hist, fresh, lifetime=10)
+        np.testing.assert_array_equal(np.asarray(hist), expect)
+
+
+def test_occupancy_u8_and_layers():
+    g = VoxelGrid(lower=(0, 0, 0), upper=(4, 3, 2), cell_size=(1, 1, 1))
+    grid = jnp.arange(g.num_cells, dtype=jnp.int32) * 20
+    u8 = occupancy_to_u8(grid)
+    assert int(u8[13]) == min(260, 255)
+    layers = occupancy_layers(u8, g.grid_size)
+    assert layers.shape == (2, 3, 4)
+    # x-fastest layout: cell (x=1,y=2,z=1) at linear 1 + 2*4 + 1*12 = 21
+    assert int(layers[1, 2, 1]) == int(u8[21])
+
+
+def test_voxelize_average_matches_oracle():
+    pts, mask = _points(3, n=300)
+    ids = GRID.cell_index_clamped(jnp.asarray(pts[:, :3]))
+    out, count = voxelize_average(
+        jnp.asarray(pts), ids, jnp.asarray(mask), GRID, capacity=300)
+    want, cells = oracles.voxelize_average_oracle(
+        pts, np.asarray(ids), mask)
+    assert int(count) == want.shape[0]
+    np.testing.assert_allclose(np.asarray(out)[: int(count)], want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_voxelize_occupied_centers():
+    g = VoxelGrid(lower=(0, 0, 0), upper=(2, 2, 1), cell_size=(1, 1, 1))
+    occ = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    out, count = voxelize_occupied(occ, g, capacity=4)
+    assert int(count) == 2
+    # cells 1 (x=1,y=0) and 3 (x=1,y=1); worldCoord = lower corner
+    np.testing.assert_allclose(np.asarray(out)[:2],
+                               [[1, 0, 0, 1], [1, 1, 0, 1]])
+
+
+def test_group_by_key():
+    keys = np.array([5, 3, 5, 7, 3, 3, 9, 5], np.int32)
+    mask = np.array([1, 1, 1, 1, 1, 0, 1, 1], bool)
+    g = group_by_key(jnp.asarray(keys), jnp.asarray(mask), group_capacity=8)
+    assert int(g["num_groups"]) == 4
+    np.testing.assert_array_equal(np.asarray(g["group_values"])[:4],
+                                  [3, 5, 7, 9])
+    np.testing.assert_array_equal(np.asarray(g["group_sizes"])[:4],
+                                  [2, 3, 1, 1])
+    # stable: indices of key 3 in order 1, 4; key 5 in order 0, 2, 7
+    si = np.asarray(g["sorted_indices"])
+    assert list(si[:2]) == [1, 4]
+    assert list(si[2:5]) == [0, 2, 7]
+
+
+def test_bincount_group():
+    vals = np.array([2, 0, 2, 1, 0, 2], np.int32)
+    mask = np.ones(6, bool)
+    counts, starts, gidx = bincount_group(jnp.asarray(vals), jnp.asarray(mask), 3)
+    np.testing.assert_array_equal(np.asarray(counts), [2, 1, 3])
+    np.testing.assert_array_equal(np.asarray(starts), [0, 2, 3])
+    np.testing.assert_array_equal(np.asarray(gidx), [1, 4, 3, 0, 2, 5])
