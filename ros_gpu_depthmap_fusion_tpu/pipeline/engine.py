@@ -1,0 +1,341 @@
+"""The fusion engine: per-frame device step + host orchestrator.
+
+Re-design of the reference engine ``GPUDepthmapFusion`` + the per-frame
+driver ``GPUDepthmapFusionComponent::processDepthmaps``
+(``src/gpu_depthmap_fusion_component.cpp:92-515``; SURVEY.md §3.2). The
+reference dispatches ~20 GPU kernels with 4+ full GPU<->CPU round-trips per
+frame (voxel coords down, voxelized points up, occupancy down, CC labels
+up/down). Here the whole numeric pipeline — rollbuffer maintenance, depth
+unprojection, filtering, cropping, compaction, voxelization, occupancy
+decay — is ONE jitted XLA program; the only per-frame host traffic is input
+staging in and the (small) fused outputs back.
+
+Stage order inside :func:`build_fusion_step` mirrors processDepthmaps:
+
+    1. filter new point sequences        (cpp:166  filterNewPointSequences)
+    2. insert into rollbuffer            (cpp:168  insertNewPointSequences…)
+    3. expire old sequences              (cpp:185  rollPointSequenceRollbufferCPU)
+    4. select aggregation timespan       (cpp:194  selectPointSequenceTimespanCPU)
+    5. gather + transform selection      (cpp:199-203 insertSelected…/transform…)
+    6. unproject depth maps              (cpp:226  convertDepthmaps)
+    7. flying-pixel filter               (cpp:234  filterFlyingPixels)
+    8. crop                              (cpp:241  cropPoints)
+    9. compact                           (cpp:249  applyPointMask)
+    10. voxel coords + voxelize          (cpp:259-288 computeVoxelCoords/voxelize)
+    11. occupancy + temporal decay       (cpp:297  voxelOccupancyGrid)
+
+Object segmentation + tracking live in :mod:`mapping` (a second device
+program over the occupancy grid + small-N host assembly), driven by
+:class:`FusionEngine`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+from ros_gpu_depthmap_fusion_tpu.core import timeutil
+from ros_gpu_depthmap_fusion_tpu.ops.unproject import unproject_depthmaps
+from ros_gpu_depthmap_fusion_tpu.ops.stencil import (
+    filter_flying_pixels, filter_point_sequence)
+from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import crop_points, compact
+from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
+    scatter_occupancy, update_historic_occupancy, occupancy_to_u8)
+from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
+    voxelize_average, voxelize_occupied)
+from ros_gpu_depthmap_fusion_tpu.state import rollbuffer as rbmod
+from ros_gpu_depthmap_fusion_tpu.state.rollbuffer import RollBuffer
+
+
+class EngineState(NamedTuple):
+    """Carried device state (the reference's persistent SSBOs)."""
+    rollbuffer: RollBuffer
+    historic_occupancy: jnp.ndarray   # [num_cells] int32
+    frame_index: jnp.ndarray          # scalar int32
+
+
+class SequenceBatch(NamedTuple):
+    """Staged new point sequences for one frame (host -> device)."""
+    points: jnp.ndarray      # [STAGE_CAP, 4]
+    seq_idx: jnp.ndarray     # [STAGE_CAP] int32, 0-based within batch
+    seq_sec: jnp.ndarray     # [SEQ_STAGE_CAP] int32
+    seq_nsec: jnp.ndarray    # [SEQ_STAGE_CAP] int32
+    seq_count: jnp.ndarray   # [SEQ_STAGE_CAP] int32
+    seq_tf_move: jnp.ndarray  # [SEQ_STAGE_CAP, 4, 4]
+    num_points: jnp.ndarray  # scalar int32
+    num_seqs: jnp.ndarray    # scalar int32
+
+
+class FrameInputs(NamedTuple):
+    depth: jnp.ndarray        # [C, H, W] uint16
+    intrinsics: jnp.ndarray   # [C, 4] (fx, fy, cx, cy)
+    tf_world: jnp.ndarray     # [C, 4, 4] world <- camera
+    tf_crop: jnp.ndarray      # [C, 4, 4] crop <- camera
+    seq_batch: SequenceBatch
+    tf_world_move: jnp.ndarray  # [4, 4] world <- move
+    tf_crop_move: jnp.ndarray   # [4, 4] crop <- move
+    now_sec: jnp.ndarray
+    now_nsec: jnp.ndarray
+    roll_min_sec: jnp.ndarray   # expiry threshold (now - timespan)
+    roll_min_nsec: jnp.ndarray
+
+
+class FrameOutputs(NamedTuple):
+    fused_points: jnp.ndarray   # [out_cap, 4] voxelized (or raw) world points
+    fused_count: jnp.ndarray
+    raw_points: jnp.ndarray     # [total_cap, 4] compacted world points
+    raw_count: jnp.ndarray
+    occupancy_u8: jnp.ndarray   # [num_cells] uint8 (historic, decayed)
+    seq_selected_count: jnp.ndarray
+
+
+def initial_state(cfg: FusionConfig, grid: VoxelGrid) -> EngineState:
+    return EngineState(
+        rollbuffer=rbmod.make_rollbuffer(
+            cfg.rollbuffer_point_capacity, cfg.rollbuffer_seq_capacity),
+        historic_occupancy=jnp.zeros((grid.num_cells,), jnp.int32),
+        frame_index=jnp.int32(0),
+    )
+
+
+def fusion_step(state: EngineState,
+                inp: FrameInputs,
+                *,
+                cfg: FusionConfig,
+                grid: VoxelGrid,
+                output_capacity: int):
+    """One fused frame step (pure; jit over the static cfg/grid closure)."""
+    c = cfg.num_depth_streams
+    h, w = cfg.depth_height, cfg.depth_width
+    n_depth = c * h * w
+    sel_cap = cfg.rollbuffer_point_capacity
+    rb = state.rollbuffer
+    sb = inp.seq_batch
+
+    # -- 1. filter new point sequences (sensor frame; mask starts all-set
+    #       over the staged extent, cpp:944-960) --
+    stage_idx = jnp.arange(sb.points.shape[0], dtype=jnp.int32)
+    staged_mask = stage_idx < sb.num_points
+    seq_mask = filter_point_sequence(
+        sb.points, staged_mask, sb.num_points,
+        cfg.point_sequence_filter_size, cfg.point_sequence_filter_threshold)
+
+    # -- 2. insert into rollbuffer --
+    rb, _overflow = rbmod.insert_sequences(
+        rb, sb.points, seq_mask, sb.seq_idx, sb.seq_sec, sb.seq_nsec,
+        sb.seq_count, sb.seq_tf_move, sb.num_points, sb.num_seqs)
+
+    # -- 3. expire sequences older than (now - aggregation timespan) --
+    rb = rbmod.roll(rb, inp.roll_min_sec, inp.roll_min_nsec)
+
+    # -- 4. select the aggregation window [roll_min, now] --
+    sel = rbmod.select_timespan(
+        rb, inp.roll_min_sec, inp.roll_min_nsec, inp.now_sec, inp.now_nsec)
+
+    # -- 5. gather + transform selection to world/crop --
+    seq_world, seq_crop, seq_valid, _ = rbmod.gather_selection(
+        rb, sel, inp.tf_world_move, inp.tf_crop_move, sel_cap)
+
+    # -- 6. unproject depth --
+    pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
+        inp.depth, inp.intrinsics, inp.tf_world, inp.tf_crop,
+        cfg.depth_scale)
+
+    # -- 7. flying-pixel filter (camera frame) --
+    if cfg.enable_flyingpixels_filter:
+        dmask = filter_flying_pixels(
+            pts_cam, dmask, h, w,
+            cfg.flyingpixels_filter_size,
+            cfg.flyingpixels_filter_threshold,
+            cfg.flyingpixels_filter_enable_rot45,
+            cfg.flyingpixels_max_distance)
+
+    # -- concatenate depth section + rollbuffer selection section (the
+    #    reference appends lidar after depth at m_depthmapsTotalElements) --
+    all_world = jnp.concatenate(
+        [pts_world.reshape(n_depth, 4), seq_world], axis=0)
+    all_crop = jnp.concatenate(
+        [pts_crop.reshape(n_depth, 4), seq_crop], axis=0)
+    all_mask = jnp.concatenate([dmask.reshape(n_depth), seq_valid], axis=0)
+
+    # -- 8. crop (crop-frame AABB) --
+    all_mask = crop_points(all_crop, all_mask, cfg.crop_min, cfg.crop_max)
+
+    # -- 9. deterministic compaction of world points --
+    total_cap = n_depth + sel_cap
+    raw_points, raw_count = compact(all_world, all_mask, total_cap)
+
+    # -- 10. voxel coords + voxelize --
+    cell_ids = grid.cell_index_clamped(raw_points[:, :3])
+    live = jnp.arange(total_cap, dtype=jnp.int32) < raw_count
+    if cfg.enable_voxel_filter:
+        if cfg.voxel_enable_average:
+            fused_points, fused_count = voxelize_average(
+                raw_points, cell_ids, live, grid, output_capacity)
+        else:
+            fresh_for_centers = scatter_occupancy(
+                cell_ids, live, grid.num_cells)
+            fused_points, fused_count = voxelize_occupied(
+                fresh_for_centers, grid, output_capacity)
+    else:
+        fused_points, fused_count = raw_points, raw_count
+
+    # -- 11. occupancy + temporal decay --
+    fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
+    historic = update_historic_occupancy(
+        state.historic_occupancy, fresh, cfg.voxel_occupancy_lifetime)
+    occupancy_u8 = occupancy_to_u8(historic)
+
+    new_state = EngineState(
+        rollbuffer=rb,
+        historic_occupancy=historic,
+        frame_index=state.frame_index + 1,
+    )
+    out = FrameOutputs(
+        fused_points=fused_points, fused_count=fused_count,
+        raw_points=raw_points, raw_count=raw_count,
+        occupancy_u8=occupancy_u8,
+        seq_selected_count=sel.point_count,
+    )
+    return new_state, out
+
+
+def build_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
+                      output_capacity: Optional[int] = None,
+                      donate: bool = True):
+    """Jit-compile the per-frame step for a static config/grid."""
+    if output_capacity is None:
+        output_capacity = min(grid.num_cells, cfg.total_point_capacity)
+    step = functools.partial(fusion_step, cfg=cfg, grid=grid,
+                             output_capacity=output_capacity)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Host orchestrator
+# ---------------------------------------------------------------------------
+
+class FusionEngine:
+    """Host-side engine with the reference component's ingestion API:
+    :meth:`add_depthmap` / :meth:`add_point_sequence` stage inputs (CPU),
+    :meth:`process` runs the fused device step, and (optionally)
+    segmentation + tracking.
+
+    Mirrors GPUDepthmapFusion's clear/add/process lifecycle
+    (gpu_depthmap_fusion.h:223-307) with functional device state.
+    """
+
+    def __init__(self, cfg: FusionConfig, grid: Optional[VoxelGrid] = None,
+                 enable_mapping: bool = False):
+        self.cfg = cfg
+        self.grid = grid or VoxelGrid.from_config(cfg)
+        self.step = build_fusion_step(cfg, self.grid)
+        self.state = initial_state(cfg, self.grid)
+        self.enable_mapping = enable_mapping
+        if enable_mapping:
+            from ros_gpu_depthmap_fusion_tpu.mapping.pipeline import (
+                MappingPipeline)
+            self.mapping = MappingPipeline(cfg, self.grid)
+        else:
+            self.mapping = None
+        self._stage_cap = cfg.max_points_per_sequence
+        self._seq_stage_cap = max(1, cfg.num_point_sequences * 4)
+        self.clear()
+
+    # --- ingestion (reference addDepthmap / addPointSequence) ---
+    def clear(self):
+        c = self.cfg.num_depth_streams
+        h, w = self.cfg.depth_height, self.cfg.depth_width
+        self._depth = np.zeros((c, h, w), np.uint16)
+        self._intr = np.zeros((c, 4), np.float32)
+        self._tf_world = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
+        self._tf_crop = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
+        self._seq_points = np.zeros((self._stage_cap, 4), np.float32)
+        self._seq_idx = np.zeros((self._stage_cap,), np.int32)
+        self._seq_meta = []          # (sec, nsec, count, tf_move)
+        self._seq_fill = 0
+
+    def add_depthmap(self, slot: int, depth_u16: np.ndarray,
+                     intrinsics, tf_world: np.ndarray,
+                     tf_crop: np.ndarray):
+        self._depth[slot] = depth_u16
+        self._intr[slot] = np.asarray(
+            intrinsics.as_array() if hasattr(intrinsics, "as_array")
+            else intrinsics, np.float32)
+        self._tf_world[slot] = tf_world
+        self._tf_crop[slot] = tf_crop
+
+    def add_point_sequence(self, points_xyz: np.ndarray, sec: int, nsec: int,
+                           tf_move: np.ndarray):
+        """Stage one lidar packet (reference addPointSequence,
+        gpu_depthmap_fusion.cpp:747-796: copy xyz with w=1 into staging +
+        append a PointSequence record). Overflowing points are dropped."""
+        n = min(len(points_xyz), self._stage_cap - self._seq_fill)
+        if n <= 0 or len(self._seq_meta) >= self._seq_stage_cap:
+            return
+        sl = slice(self._seq_fill, self._seq_fill + n)
+        self._seq_points[sl, :3] = points_xyz[:n]
+        self._seq_points[sl, 3] = 1.0
+        self._seq_idx[sl] = len(self._seq_meta)
+        self._seq_meta.append((sec, nsec, n, np.asarray(tf_move, np.float32)))
+        self._seq_fill += n
+
+    def _make_seq_batch(self) -> SequenceBatch:
+        s_cap = self._seq_stage_cap
+        sec = np.zeros(s_cap, np.int32)
+        nsec = np.zeros(s_cap, np.int32)
+        cnt = np.zeros(s_cap, np.int32)
+        tfs = np.tile(np.eye(4, dtype=np.float32), (s_cap, 1, 1))
+        for i, (s, ns, n, tf) in enumerate(self._seq_meta):
+            sec[i], nsec[i], cnt[i] = s, ns, n
+            tfs[i] = tf
+        return SequenceBatch(
+            points=jnp.asarray(self._seq_points),
+            seq_idx=jnp.asarray(self._seq_idx),
+            seq_sec=jnp.asarray(sec), seq_nsec=jnp.asarray(nsec),
+            seq_count=jnp.asarray(cnt), seq_tf_move=jnp.asarray(tfs),
+            num_points=jnp.int32(self._seq_fill),
+            num_seqs=jnp.int32(len(self._seq_meta)))
+
+    # --- the frame step ---
+    def process(self, now_seconds: float,
+                tf_world_move: Optional[np.ndarray] = None,
+                tf_crop_move: Optional[np.ndarray] = None) -> FrameOutputs:
+        now_ns = timeutil.from_seconds(now_seconds)
+        now_sec, now_nsec = timeutil.decode(now_ns)
+        min_ns = now_ns - timeutil.from_seconds(
+            self.cfg.point_sequence_aggregation_timespan)
+        min_sec, min_nsec = timeutil.decode(max(min_ns, 0))
+        eye = np.eye(4, dtype=np.float32)
+        inp = FrameInputs(
+            depth=jnp.asarray(self._depth),
+            intrinsics=jnp.asarray(self._intr),
+            tf_world=jnp.asarray(self._tf_world),
+            tf_crop=jnp.asarray(self._tf_crop),
+            seq_batch=self._make_seq_batch(),
+            tf_world_move=jnp.asarray(
+                eye if tf_world_move is None else tf_world_move),
+            tf_crop_move=jnp.asarray(
+                eye if tf_crop_move is None else tf_crop_move),
+            now_sec=jnp.int32(now_sec), now_nsec=jnp.int32(now_nsec),
+            roll_min_sec=jnp.int32(min_sec),
+            roll_min_nsec=jnp.int32(min_nsec),
+        )
+        self.state, out = self.step(self.state, inp)
+        # reset per-frame staging (reference clear(), cpp:725-732 — keeps
+        # the rollbuffer, drops per-frame inputs)
+        self.clear()
+        return out
+
+    def segment_and_track(self, out: FrameOutputs):
+        """Run object segmentation + tracking on the latest occupancy grid
+        (reference objectSegmentation + objectTracking)."""
+        if self.mapping is None:
+            raise RuntimeError("engine constructed with enable_mapping=False")
+        return self.mapping.process(out.occupancy_u8, self.cfg.tracking_dt)

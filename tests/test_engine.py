@@ -1,0 +1,167 @@
+"""End-to-end engine tests (single chip, CPU backend)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+from ros_gpu_depthmap_fusion_tpu.core import transforms
+from ros_gpu_depthmap_fusion_tpu.pipeline import FusionEngine
+
+
+def small_cfg(**kw):
+    base = dict(
+        num_depth_streams=2, depth_height=24, depth_width=32,
+        num_point_sequences=1,
+        crop_min=(-5, -5, -5), crop_max=(5, 5, 5),
+        voxel_min=(-5, -5, -5), voxel_max=(5, 5, 5),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=256, rollbuffer_seq_capacity=16,
+        max_points_per_sequence=64,
+        voxel_occupancy_lifetime=3,
+        flyingpixels_filter_threshold=0.0,
+    )
+    base.update(kw)
+    return FusionConfig(**base)
+
+
+def flat_depth(cfg, meters):
+    return np.full((cfg.depth_height, cfg.depth_width),
+                   int(meters / cfg.depth_scale), np.uint16)
+
+
+def test_engine_depth_only_frame():
+    cfg = small_cfg()
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    tf1 = transforms.make_se3(translation=np.array([1.0, 0, 0]))
+    eng.add_depthmap(0, flat_depth(cfg, 2.0), intr, eye, eye)
+    eng.add_depthmap(1, flat_depth(cfg, 2.0), intr, tf1, tf1)
+    out = eng.process(now_seconds=1.0)
+    assert int(out.raw_count) > 0
+    assert int(out.fused_count) > 0
+    raw = np.asarray(out.raw_points)[: int(out.raw_count)]
+    # flat wall at z=2 in both cams; cam1 shifted +1 in x
+    assert abs(float(np.median(raw[:, 2])) - 2.0) < 0.01
+    occ = np.asarray(out.occupancy_u8)
+    assert occ.max() == cfg.voxel_occupancy_lifetime
+
+
+def test_engine_empty_frame_decays():
+    cfg = small_cfg()
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    eng.add_depthmap(0, flat_depth(cfg, 2.0), intr, eye, eye)
+    out = eng.process(1.0)
+    occupied0 = int((np.asarray(out.occupancy_u8) > 0).sum())
+    assert occupied0 > 0
+    for k in range(cfg.voxel_occupancy_lifetime):
+        out = eng.process(1.0 + 0.1 * (k + 1))
+    assert int((np.asarray(out.occupancy_u8) > 0).sum()) == 0
+    assert int(out.raw_count) == 0
+
+
+def test_engine_crop_excludes():
+    cfg = small_cfg(crop_min=(-0.1, -0.1, -0.1), crop_max=(0.1, 0.1, 0.1))
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    eng.add_depthmap(0, flat_depth(cfg, 2.0), intr, eye, eye)
+    out = eng.process(1.0)  # wall at z=2 is outside the tiny crop box
+    assert int(out.raw_count) == 0
+
+
+def test_engine_point_sequence_aggregation_and_expiry():
+    cfg = small_cfg(point_sequence_aggregation_timespan=0.5,
+                    point_sequence_filter_size=1,
+                    point_sequence_filter_threshold=0.0)
+    eng = FusionEngine(cfg)
+    eye = np.eye(4, dtype=np.float32)
+    # tangential arc of lidar points at radius 3 (survives the seq filter)
+    t = np.linspace(0, np.pi / 4, 32)
+    arc = np.stack([3 * np.cos(t), 3 * np.sin(t), 0.5 + 0 * t], axis=-1)
+
+    eng.add_point_sequence(arc, sec=1, nsec=0, tf_move=eye)
+    out1 = eng.process(1.0)
+    assert int(out1.seq_selected_count) == 32
+    assert int(out1.raw_count) > 0
+
+    # 0.3s later: still inside the 0.5s window
+    eng.add_point_sequence(arc + np.array([0, 0, 1.0]), sec=1,
+                           nsec=300_000_000, tf_move=eye)
+    out2 = eng.process(1.3)
+    assert int(out2.seq_selected_count) == 64
+
+    # at t=1.7 the window is [1.2, 1.7]: first packet (t=1.0) expired,
+    # second (t=1.3) still selected
+    out3 = eng.process(1.7)
+    assert int(out3.seq_selected_count) == 32
+    # at t=2.5 everything has expired
+    out4 = eng.process(2.5)
+    assert int(out4.seq_selected_count) == 0
+
+
+def test_engine_seq_move_transform():
+    cfg = small_cfg(point_sequence_filter_threshold=0.0)
+    eng = FusionEngine(cfg)
+    eye = np.eye(4, dtype=np.float32)
+    tf_move = transforms.make_se3(translation=np.array([10.0, 0, 0]))
+    pts = np.array([[3.0, 0.1, 0.5], [3.0, 0.3, 0.5]])
+    eng.add_point_sequence(pts, sec=2, nsec=0, tf_move=tf_move)
+    tf_world_move = transforms.make_se3(translation=np.array([0, 20.0, 0]))
+    cfg_big = cfg  # crop box is +-5 -> move the points back inside via crop tf
+    out = eng.process(2.0, tf_world_move=tf_world_move,
+                      tf_crop_move=np.asarray(
+                          transforms.invert_se3(tf_move), np.float32))
+    raw = np.asarray(out.raw_points)[: int(out.raw_count)]
+    assert raw.shape[0] == 2
+    # world = T_world_move @ T_move @ p = p + (10, 20, 0)
+    np.testing.assert_allclose(raw[0, :3], [13.0, 20.1, 0.5], atol=1e-4)
+
+
+def test_engine_voxel_average_mode():
+    cfg = small_cfg(voxel_enable_average=True, voxel_size=(1.0, 1.0, 1.0))
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    eng.add_depthmap(0, flat_depth(cfg, 2.0), intr, eye, eye)
+    out = eng.process(1.0)
+    fused = np.asarray(out.fused_points)[: int(out.fused_count)]
+    # averaged points must sit at z ~= 2.0 (true surface), not cell corners
+    np.testing.assert_allclose(fused[:, 2], 2.0, atol=1e-3)
+    assert int(out.fused_count) < int(out.raw_count)
+
+
+def test_engine_voxel_occupied_mode():
+    cfg = small_cfg(voxel_enable_average=False, voxel_size=(1.0, 1.0, 1.0))
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    eng.add_depthmap(0, flat_depth(cfg, 2.0), intr, eye, eye)
+    out = eng.process(1.0)
+    fused = np.asarray(out.fused_points)[: int(out.fused_count)]
+    # occupied mode emits cell lower corners: z = 2 m -> cell floor(7/1)=7
+    # with lower bound -5 -> corner z = -5 + 7 = 2.0
+    assert set(np.unique(fused[:, 2])) <= {2.0}
+
+
+def test_engine_deterministic():
+    cfg = small_cfg()
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    depth = rng.integers(500, 4000, size=(cfg.depth_height, cfg.depth_width),
+                         dtype=np.uint16)
+    results = []
+    for _ in range(2):
+        eng = FusionEngine(cfg)
+        eng.add_depthmap(0, depth, intr, eye, eye)
+        out = eng.process(1.0)
+        results.append((np.asarray(out.raw_points), int(out.raw_count),
+                        np.asarray(out.occupancy_u8)))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    assert results[0][1] == results[1][1]
+    np.testing.assert_array_equal(results[0][2], results[1][2])
