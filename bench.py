@@ -1,0 +1,92 @@
+"""Headline benchmark: fused depth frames/s/chip.
+
+Workload (the north-star operating point): 8 RGB-D streams at 848x480 +
+one 2048-point lidar stream, fused into the reference's largest deployment
+grid (40m x 40m x 2.5m at 0.1/0.1/0.12 -> 400x400x21 ~ 3.4M cells,
+launch/gpu_depthmap_fusion.launch:144-159), full pipeline per frame:
+unproject -> flying-pixel filter -> crop -> compact -> voxelize(average) ->
+occupancy + temporal decay, plus rollbuffer maintenance.
+
+Baseline: the reference's designed processing rate is 30 Hz on a desktop GPU
+with up to 6 streams (launch:29-32; no published numbers exist — BASELINE.md).
+``vs_baseline`` is fps / 30.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.core import transforms
+    from ros_gpu_depthmap_fusion_tpu.pipeline import FusionEngine
+
+    H, W, C = 480, 848, 8
+    cfg = FusionConfig(
+        num_depth_streams=C, depth_height=H, depth_width=W,
+        num_point_sequences=1,
+        crop_min=(-20, -20, 0), crop_max=(20, 20, 2.5),
+        voxel_min=(-20, -20, 0), voxel_max=(20, 20, 2.5),
+        voxel_size=(0.1, 0.1, 0.12),
+        voxel_occupancy_lifetime=10,
+        rollbuffer_point_capacity=131072,
+        max_points_per_sequence=4096,
+    )
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(W, H)
+
+    cams = []
+    for i in range(C):
+        ang = i * 2 * np.pi / C
+        pos = np.array([8 * np.cos(ang), 8 * np.sin(ang), 2.0])
+        cams.append(transforms.make_se3(
+            transforms.rot_z(ang + np.pi) @ transforms.rot_x(-np.pi / 2 - 0.3),
+            pos))
+
+    rng = np.random.default_rng(0)
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    base = 2500 + 200 * np.sin(u / 150.0) + 150 * np.cos(v / 120.0)
+    depths = []
+    for k in range(4):  # rotate through a few pre-staged frames
+        d = (base + rng.standard_normal((H, W))).astype(np.uint16)
+        d[rng.random((H, W)) < 0.01] = 0
+        depths.append(d)
+    t_l = np.linspace(0, np.pi, 2048)
+    arc = np.stack([6 * np.cos(t_l), 6 * np.sin(t_l), 1 + 0 * t_l], axis=-1)
+
+    def run_frame(f):
+        d = depths[f % len(depths)]
+        for i in range(C):
+            eng.add_depthmap(i, d, intr, cams[i], cams[i])
+        eng.add_point_sequence(arc, sec=10, nsec=int((f % 30) * 33e6),
+                               tf_move=np.eye(4, dtype=np.float32))
+        return eng.process(10.0 + f / 30.0)
+
+    # warmup/compile
+    out = run_frame(0)
+    jax.block_until_ready(out.fused_count)
+    # timed
+    iters = 30
+    t0 = time.time()
+    for f in range(1, iters + 1):
+        out = run_frame(f)
+    jax.block_until_ready(out.fused_count)
+    dt = (time.time() - t0) / iters
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "fused_frames_per_s_per_chip_8cam_848x480",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Multi-device fusion step.
+
+``shard_map`` re-expression of the fused frame step over a
+``(stream, space)`` mesh (see :mod:`.mesh`):
+
+- Depth streams are sharded over ``stream``: each device unprojects/filters
+  its own cameras (pure data parallelism — no communication).
+- The fresh occupancy grid is combined with one ``lax.pmax`` over ``stream``
+  (occupancy is idempotent, so a max-reduce is exact), after which every
+  device holds the full fresh grid and updates only its own ``space`` block
+  of the historic grid — the historic occupancy is block-partitioned over
+  ``space`` and never materialized on one device.
+- Average-mode voxelization needs per-cell sums/counts across all cameras:
+  one ``lax.psum`` over ``stream``, then each device compacts the occupied
+  cells of its own space block (outputs concatenate over ``space``).
+- The lidar rollbuffer is small (<= ~131k points) and is kept replicated;
+  its points are contributed by the first stream row only so average-mode
+  sums are not multiply counted.
+
+The reference has no distribution story at all (single GPU, SURVEY.md
+§2.7); this module is the north-star "shard point streams by camera,
+block-partition the voxel map spatially" design. No pipeline/expert
+parallelism exists or is needed for this workload (documented N/A).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+from ros_gpu_depthmap_fusion_tpu.ops.unproject import unproject_depthmaps
+from ros_gpu_depthmap_fusion_tpu.ops.stencil import (
+    filter_flying_pixels, filter_point_sequence)
+from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import crop_points, compact
+from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
+    scatter_occupancy, update_historic_occupancy, occupancy_to_u8)
+from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import compact_multi
+from ros_gpu_depthmap_fusion_tpu.state import rollbuffer as rbmod
+from ros_gpu_depthmap_fusion_tpu.pipeline.engine import (
+    EngineState, FrameInputs, SequenceBatch)
+from ros_gpu_depthmap_fusion_tpu.parallel.mesh import (
+    SPACE_AXIS, STREAM_AXIS)
+
+
+class ShardedFrameOutputs(NamedTuple):
+    fused_points: jnp.ndarray   # [n_space * block_out_cap, 4] (by space block)
+    fused_counts: jnp.ndarray   # [n_space] occupied/emitted per block
+    raw_points: jnp.ndarray     # [n_stream * local_cap, 4] (by stream shard)
+    raw_counts: jnp.ndarray     # [n_stream]
+    occupancy_u8: jnp.ndarray   # [padded_cells] uint8 (space-concatenated)
+
+
+def padded_num_cells(grid: VoxelGrid, n_space: int) -> int:
+    return ((grid.num_cells + n_space - 1) // n_space) * n_space
+
+
+def sharded_initial_state(cfg: FusionConfig, grid: VoxelGrid,
+                          mesh: Mesh) -> EngineState:
+    """EngineState whose historic grid is padded to a multiple of the space
+    axis and sharded over it; rollbuffer replicated."""
+    n_space = mesh.shape[SPACE_AXIS]
+    padded = padded_num_cells(grid, n_space)
+    state = EngineState(
+        rollbuffer=rbmod.make_rollbuffer(
+            cfg.rollbuffer_point_capacity, cfg.rollbuffer_seq_capacity),
+        historic_occupancy=jnp.zeros((padded,), jnp.int32),
+        frame_index=jnp.int32(0),
+    )
+    return jax.device_put(state, state_shardings(mesh))
+
+
+def state_shardings(mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return EngineState(
+        rollbuffer=jax.tree.map(
+            lambda _: rep,
+            rbmod.make_rollbuffer(1, 1)),
+        historic_occupancy=NamedSharding(mesh, P(SPACE_AXIS)),
+        frame_index=rep,
+    )
+
+
+def input_shardings(mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    stream0 = NamedSharding(mesh, P(STREAM_AXIS))
+    return FrameInputs(
+        depth=stream0, intrinsics=stream0, tf_world=stream0,
+        tf_crop=stream0,
+        seq_batch=SequenceBatch(*([rep] * 8)),
+        tf_world_move=rep, tf_crop_move=rep,
+        now_sec=rep, now_nsec=rep,
+        roll_min_sec=rep, roll_min_nsec=rep,
+    )
+
+
+def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
+                              mesh: Mesh,
+                              block_output_capacity: Optional[int] = None):
+    """Compile the multi-device frame step.
+
+    Inputs follow :func:`input_shardings` (depth batch sharded over
+    ``stream``); state follows :func:`state_shardings`. Returns a jitted
+    ``(state, inputs) -> (state, ShardedFrameOutputs)``.
+    """
+    n_stream = mesh.shape[STREAM_AXIS]
+    n_space = mesh.shape[SPACE_AXIS]
+    c = cfg.num_depth_streams
+    assert c % n_stream == 0, (c, n_stream)
+    c_local = c // n_stream
+    h, w = cfg.depth_height, cfg.depth_width
+    n_depth_local = c_local * h * w
+    sel_cap = cfg.rollbuffer_point_capacity
+    local_cap = n_depth_local + sel_cap
+    padded = padded_num_cells(grid, n_space)
+    block = padded // n_space
+    if block_output_capacity is None:
+        block_output_capacity = min(block, local_cap)
+
+    def local_step(state: EngineState, inp: FrameInputs):
+        rb = state.rollbuffer
+        sb = inp.seq_batch
+        stream_id = jax.lax.axis_index(STREAM_AXIS)
+        space_id = jax.lax.axis_index(SPACE_AXIS)
+
+        # ---- rollbuffer maintenance: replicated computation ----
+        stage_idx = jnp.arange(sb.points.shape[0], dtype=jnp.int32)
+        staged_mask = stage_idx < sb.num_points
+        seq_mask = filter_point_sequence(
+            sb.points, staged_mask, sb.num_points,
+            cfg.point_sequence_filter_size,
+            cfg.point_sequence_filter_threshold)
+        rb, _ = rbmod.insert_sequences(
+            rb, sb.points, seq_mask, sb.seq_idx, sb.seq_sec, sb.seq_nsec,
+            sb.seq_count, sb.seq_tf_move, sb.num_points, sb.num_seqs)
+        rb = rbmod.roll(rb, inp.roll_min_sec, inp.roll_min_nsec)
+        sel = rbmod.select_timespan(
+            rb, inp.roll_min_sec, inp.roll_min_nsec,
+            inp.now_sec, inp.now_nsec)
+        seq_world, seq_crop, seq_valid, _ = rbmod.gather_selection(
+            rb, sel, inp.tf_world_move, inp.tf_crop_move, sel_cap)
+        # only the first stream row contributes lidar points to reductions
+        seq_valid_local = seq_valid & (stream_id == 0)
+
+        # ---- local depth pipeline (own cameras only) ----
+        pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
+            inp.depth, inp.intrinsics, inp.tf_world, inp.tf_crop,
+            cfg.depth_scale)
+        if cfg.enable_flyingpixels_filter:
+            dmask = filter_flying_pixels(
+                pts_cam, dmask, h, w,
+                cfg.flyingpixels_filter_size,
+                cfg.flyingpixels_filter_threshold,
+                cfg.flyingpixels_filter_enable_rot45,
+                cfg.flyingpixels_max_distance)
+
+        all_world = jnp.concatenate(
+            [pts_world.reshape(n_depth_local, 4), seq_world], axis=0)
+        all_crop = jnp.concatenate(
+            [pts_crop.reshape(n_depth_local, 4), seq_crop], axis=0)
+        all_mask = jnp.concatenate(
+            [dmask.reshape(n_depth_local), seq_valid_local], axis=0)
+        all_mask = crop_points(all_crop, all_mask, cfg.crop_min, cfg.crop_max)
+
+        raw_points, raw_count = compact(all_world, all_mask, local_cap)
+
+        # ---- fresh occupancy: local scatter + pmax over streams (ICI) ----
+        cell_ids = grid.cell_index_clamped(raw_points[:, :3])
+        live = jnp.arange(local_cap, dtype=jnp.int32) < raw_count
+        fresh_local = scatter_occupancy(cell_ids, live, padded)
+        fresh = jax.lax.pmax(fresh_local, STREAM_AXIS)
+
+        # ---- historic update on own space block only ----
+        my_block = jax.lax.dynamic_slice(fresh, (space_id * block,), (block,))
+        historic = update_historic_occupancy(
+            state.historic_occupancy, my_block,
+            cfg.voxel_occupancy_lifetime)
+        occupancy_u8 = occupancy_to_u8(historic)
+
+        # ---- fused output points per space block ----
+        if cfg.voxel_enable_average:
+            sums_local = jnp.zeros((padded, 4), jnp.float32)
+            tgt = jnp.where(live, cell_ids, padded)
+            sums_local = sums_local.at[tgt].add(
+                jnp.where(live[:, None], raw_points, 0.0), mode="drop")
+            cnts_local = jnp.zeros((padded,), jnp.int32).at[tgt].add(
+                jnp.where(live, 1, 0), mode="drop")
+            sums = jax.lax.psum(sums_local, STREAM_AXIS)
+            cnts = jax.lax.psum(cnts_local, STREAM_AXIS)
+            blk_sums = jax.lax.dynamic_slice(
+                sums, (space_id * block, 0), (block, 4))
+            blk_cnts = jax.lax.dynamic_slice(
+                cnts, (space_id * block,), (block,))
+            means = blk_sums / jnp.maximum(blk_cnts[:, None], 1)
+            (fused_points,), fused_count = compact_multi(
+                (means,), blk_cnts > 0, block_output_capacity)
+        else:
+            blk_ids = (jnp.arange(block, dtype=jnp.int32)
+                       + space_id * block)
+            xyz = grid.world_coord_of_index(jnp.minimum(
+                blk_ids, grid.num_cells - 1))
+            pts = jnp.concatenate(
+                [xyz, jnp.ones_like(xyz[:, :1])], axis=-1)
+            occ_blk = my_block > 0
+            occ_blk = occ_blk & (blk_ids < grid.num_cells)
+            (fused_points,), fused_count = compact_multi(
+                (pts,), occ_blk, block_output_capacity)
+
+        new_state = EngineState(
+            rollbuffer=rb, historic_occupancy=historic,
+            frame_index=state.frame_index + 1)
+        out = ShardedFrameOutputs(
+            fused_points=fused_points,
+            fused_counts=fused_count[None],
+            raw_points=raw_points,
+            raw_counts=raw_count[None],
+            occupancy_u8=occupancy_u8,
+        )
+        return new_state, out
+
+    state_specs = EngineState(
+        rollbuffer=jax.tree.map(lambda _: P(), rbmod.make_rollbuffer(1, 1)),
+        historic_occupancy=P(SPACE_AXIS),
+        frame_index=P(),
+    )
+    in_specs = FrameInputs(
+        depth=P(STREAM_AXIS), intrinsics=P(STREAM_AXIS),
+        tf_world=P(STREAM_AXIS), tf_crop=P(STREAM_AXIS),
+        seq_batch=SequenceBatch(*([P()] * 8)),
+        tf_world_move=P(), tf_crop_move=P(),
+        now_sec=P(), now_nsec=P(), roll_min_sec=P(), roll_min_nsec=P(),
+    )
+    out_specs = (state_specs, ShardedFrameOutputs(
+        fused_points=P(SPACE_AXIS),
+        fused_counts=P(SPACE_AXIS),
+        raw_points=P(STREAM_AXIS),
+        raw_counts=P(STREAM_AXIS),
+        occupancy_u8=P(SPACE_AXIS),
+    ))
+
+    mapped = shard_map(local_step, mesh=mesh,
+                       in_specs=(state_specs, in_specs),
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
