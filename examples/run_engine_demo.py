@@ -27,7 +27,7 @@ def main():
         rollbuffer_point_capacity=131072,
         max_points_per_sequence=32768,
     )
-    eng = FusionEngine(cfg)
+    eng = FusionEngine(cfg, enable_mapping=True)
     intr = PinholeIntrinsics.default_for(W, H)
 
     # 4 cameras at the corners of a square, 2 m up, looking inward+down
@@ -76,6 +76,18 @@ def main():
     assert int(out.raw_count) > 100000
     assert int(out.seq_selected_count) > 0
     assert (occ > 0).sum() > 100
+
+    # object segmentation + tracking on the final occupancy grid
+    t0 = time.time()
+    res = eng.segment_and_track(out)
+    print(f"segment+track: {time.time()-t0:.2f}s; "
+          f"objects={res.num_merged - 1} tracks={len(res.tracks)} "
+          f"new={res.stats.num_new_tracks}")
+    t0 = time.time()
+    res2 = eng.segment_and_track(out)
+    print(f"second frame: {time.time()-t0:.2f}s "
+          f"updated={res2.stats.num_updated_tracks}")
+    assert res.num_merged >= 1
     print("ENGINE DEMO OK")
 
 

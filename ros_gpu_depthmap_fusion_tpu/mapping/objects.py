@@ -1,0 +1,196 @@
+"""Segmented-object assembly (host side).
+
+Builds the reference's ``CCObject`` structures
+(``gpu_depthmap_fusion.h:33-113``, constructed at
+``gpu_depthmap_fusion.cpp:2364-2550``) from the device
+:class:`~..mapping.segmentation.SegmentationResult`: per merged label a
+centroid, paired world/voxel min/max/center/AABB, per-component 2-D/3-D
+contours, per-layer point sets, a topview, and min-area-rect /
+min-enclosing-circle shapes for each (``MinShapes``, h:54-75).
+
+Object index 0 is the background group, as in the reference (tracking skips
+it, cpp:2776). Small-N per-frame host work; the heavy labeling already
+happened on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+from ros_gpu_depthmap_fusion_tpu.mapping import geometry as geo
+
+
+@dataclasses.dataclass
+class MinShapes:
+    box: geo.RotatedRect
+    circle: geo.EnclosingCircle
+
+    @staticmethod
+    def of(points: np.ndarray) -> "MinShapes":
+        if len(points) == 0:
+            return MinShapes(geo.RotatedRect(), geo.EnclosingCircle())
+        # both min shapes are determined by the convex hull; reducing to it
+        # first keeps the host-side cost O(hull) for large point sets
+        hull = geo.convex_hull(points) if len(points) > 8 else points
+        return MinShapes(geo.min_area_rect(hull),
+                         geo.min_enclosing_circle(hull))
+
+
+@dataclasses.dataclass
+class ShapePair:
+    """CCObject::Pair<MinShapes, MinShapes> — world + voxel coordinates."""
+    world: MinShapes
+    voxel: MinShapes
+
+
+@dataclasses.dataclass
+class ObjectComponent:
+    """One per-layer connected component of an object."""
+    layer: int
+    local_label: int
+    contour2d_voxel: np.ndarray   # [K, 2] (x, y) pixels
+    contour2d_world: np.ndarray   # [K, 2] world (x, y)
+    contour3d_voxel: np.ndarray   # [K, 3]
+    contour3d_world: np.ndarray   # [K, 3]
+    shapes: ShapePair
+
+
+@dataclasses.dataclass
+class ObjectLayer:
+    layer: int
+    points2d_voxel: np.ndarray    # [K, 2]
+    points2d_world: np.ndarray    # [K, 2]
+    shapes: ShapePair
+
+
+@dataclasses.dataclass
+class CCObject:
+    label: int
+    centroid: Tuple[float, float]           # voxel (x, y)
+    num_components: int
+    num_layers: int
+    center_coord_world: np.ndarray          # [3]
+    center_coord_voxel: np.ndarray          # [3]
+    min_coord_voxel: np.ndarray             # [3] int
+    max_coord_voxel: np.ndarray             # [3] int
+    min_coord_world: np.ndarray
+    max_coord_world: np.ndarray
+    aabb_size_voxel: np.ndarray
+    aabb_size_world: np.ndarray
+    components: List[ObjectComponent]
+    layers: List[ObjectLayer]
+    topview: Optional[ObjectLayer]
+
+
+def _voxel_xy_to_world(grid: VoxelGrid, pts: np.ndarray) -> np.ndarray:
+    """Voxel (x, y) -> world (x, y), lower-corner convention
+    (voxelCoordToWorldCoord, cpp:1720-1730)."""
+    cs = np.asarray(grid.cell_size[:2], np.float64)
+    lo = np.asarray(grid.lower[:2], np.float64)
+    return np.asarray(pts, np.float64) * cs + lo
+
+
+def _voxel_xyz_to_world(grid: VoxelGrid, pts: np.ndarray) -> np.ndarray:
+    cs = np.asarray(grid.cell_size, np.float64)
+    lo = np.asarray(grid.lower, np.float64)
+    return np.asarray(pts, np.float64) * cs + lo
+
+
+def build_objects(labels: np.ndarray,
+                  num_labels: np.ndarray,
+                  merged_of_label: np.ndarray,
+                  num_merged: int,
+                  voxel_count: np.ndarray,
+                  centroid: np.ndarray,
+                  vmin: np.ndarray,
+                  vmax: np.ndarray,
+                  grid: VoxelGrid,
+                  with_contours: bool = True,
+                  background_full: bool = False) -> List[CCObject]:
+    """Assemble CCObjects from (host copies of) the segmentation outputs.
+
+    Args:
+        labels: ``[Z, Y, X]`` per-layer dense labels.
+        merged_of_label: ``[Z, L]``.
+        background_full: build contours/layers for the background object too
+            (the reference does; it is then skipped by tracking). Default
+            False keeps index 0 as a stats-only stub to save host time.
+    """
+    z_layers, h, w = labels.shape
+    objects: List[CCObject] = []
+    merged_map = np.take(merged_of_label.reshape(-1),
+                         (np.arange(z_layers)[:, None, None]
+                          * merged_of_label.shape[1] + labels))
+
+    for m in range(int(num_merged)):
+        cnt = int(voxel_count[m]) if m < len(voxel_count) else 0
+        cen = centroid[m] if m < len(centroid) else np.zeros(3)
+        mn = vmin[m].astype(np.int64) if m < len(vmin) else np.zeros(3, int)
+        mx = vmax[m].astype(np.int64) if m < len(vmax) else np.zeros(3, int)
+        detail = with_contours and (m > 0 or background_full)
+
+        components: List[ObjectComponent] = []
+        layer_objs: List[ObjectLayer] = []
+        topview = None
+        if detail and cnt > 0:
+            top_pts = []
+            for z in range(z_layers):
+                in_layer = merged_map[z] == m
+                if not in_layer.any():
+                    continue
+                ys, xs = np.nonzero(in_layer)
+                pts2d = np.stack([xs, ys], axis=-1)
+                top_pts.append(pts2d)
+                pts2d_w = _voxel_xy_to_world(grid, pts2d)
+                layer_objs.append(ObjectLayer(
+                    layer=z, points2d_voxel=pts2d, points2d_world=pts2d_w,
+                    shapes=ShapePair(MinShapes.of(pts2d_w),
+                                     MinShapes.of(pts2d))))
+                # one component per local label present in this layer
+                locals_here = np.unique(labels[z][in_layer])
+                for l in locals_here:
+                    if l == 0 and not background_full:
+                        continue
+                    comp_mask = (labels[z] == l) & in_layer
+                    cy, cx = np.unravel_index(
+                        np.argmax(comp_mask), comp_mask.shape)
+                    contour = geo._trace_from(comp_mask, int(cy), int(cx))
+                    contour_w = _voxel_xy_to_world(grid, contour)
+                    z_w = z * grid.cell_size[2] + grid.lower[2]
+                    c3v = np.concatenate(
+                        [contour, np.full((len(contour), 1), z)], axis=-1)
+                    c3w = np.concatenate(
+                        [contour_w, np.full((len(contour), 1), z_w)], axis=-1)
+                    components.append(ObjectComponent(
+                        layer=z, local_label=int(l),
+                        contour2d_voxel=contour, contour2d_world=contour_w,
+                        contour3d_voxel=c3v, contour3d_world=c3w,
+                        shapes=ShapePair(MinShapes.of(contour_w),
+                                         MinShapes.of(contour))))
+            if top_pts:
+                tv = np.unique(np.concatenate(top_pts, axis=0), axis=0)
+                tv_w = _voxel_xy_to_world(grid, tv)
+                topview = ObjectLayer(
+                    layer=-1, points2d_voxel=tv, points2d_world=tv_w,
+                    shapes=ShapePair(MinShapes.of(tv_w), MinShapes.of(tv)))
+
+        center_vox = (mn + mx) / 2.0
+        objects.append(CCObject(
+            label=m,
+            centroid=(float(cen[0]), float(cen[1])),
+            num_components=len(components),
+            num_layers=len(layer_objs),
+            center_coord_voxel=center_vox,
+            center_coord_world=_voxel_xyz_to_world(grid, center_vox),
+            min_coord_voxel=mn, max_coord_voxel=mx,
+            min_coord_world=_voxel_xyz_to_world(grid, mn),
+            max_coord_world=_voxel_xyz_to_world(grid, mx),
+            aabb_size_voxel=mx - mn,
+            aabb_size_world=_voxel_xyz_to_world(grid, mx)
+            - _voxel_xyz_to_world(grid, mn),
+            components=components, layers=layer_objs, topview=topview))
+    return objects
