@@ -111,6 +111,24 @@ def rot_z(angle: float) -> np.ndarray:
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float32)
 
 
+def look_at(eye, target, up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """world <- camera pose for a pinhole camera at ``eye`` looking at
+    ``target`` (CV convention: +x right, +y down, +z forward)."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd = fwd / max(np.linalg.norm(fwd), 1e-12)
+    up = np.asarray(up, np.float64)
+    x = np.cross(fwd, up)
+    n = np.linalg.norm(x)
+    if n < 1e-9:  # looking straight along up: pick an arbitrary right
+        x = np.cross(fwd, np.array([1.0, 0.0, 0.0]))
+        n = np.linalg.norm(x)
+    x = x / n
+    y = np.cross(fwd, x)  # completes right-handed (x, y, z=forward), y down
+    r = np.stack([x, y, fwd], axis=1).astype(np.float32)
+    return make_se3(r, eye.astype(np.float32))
+
+
 def invert_se3(tf: np.ndarray) -> np.ndarray:
     """Closed-form inverse of a rigid transform."""
     r = tf[:3, :3]
