@@ -191,6 +191,24 @@ class SyntheticRigDataset:
                                (v - intrinsics.cy) / intrinsics.fy,
                                np.ones_like(u)], axis=-1)
 
+    def render(self, tf_world_cam: np.ndarray):
+        """(depth_u16 [H, W], intensity [H, W] float32): depth plus a
+        checkerboard world-texture intensity image (corners on surfaces,
+        not depth edges — good features for the SLAM frontend)."""
+        depth = self.render_depth(tf_world_cam)
+        z = depth.astype(np.float64) * self.depth_scale
+        r = tf_world_cam[:3, :3].astype(np.float64)
+        t = tf_world_cam[:3, 3].astype(np.float64)
+        pts_cam = self._rays * z[..., None]
+        pts_world = pts_cam @ r.T + t
+        checker = (np.floor(pts_world[..., 0] * 2.5)
+                   + np.floor(pts_world[..., 1] * 2.5)
+                   + np.floor(pts_world[..., 2] * 2.5)) % 2
+        fine = (np.floor(pts_world[..., 0] * 7 + pts_world[..., 1] * 3) % 2)
+        intensity = np.where(depth > 0,
+                             60 + 120 * checker + 40 * fine, 0.0)
+        return depth, intensity.astype(np.float32)
+
     def render_depth(self, tf_world_cam: np.ndarray) -> np.ndarray:
         """[H, W] uint16 depth (z-depth, like a depth camera) for a camera
         at the given world<-camera pose."""

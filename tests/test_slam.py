@@ -1,0 +1,300 @@
+"""SLAM stack tests: lie maps, features, pose estimation, BA, pose graph,
+ATE, and a full odometry run on a synthetic scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+from ros_gpu_depthmap_fusion_tpu.core import transforms
+from ros_gpu_depthmap_fusion_tpu.slam import lie
+from ros_gpu_depthmap_fusion_tpu.slam import features as feat
+from ros_gpu_depthmap_fusion_tpu.slam.pose_estimation import (
+    kabsch, ransac_pose, unproject_keypoints)
+from ros_gpu_depthmap_fusion_tpu.slam.ba import BAProblem, solve_window
+from ros_gpu_depthmap_fusion_tpu.slam.pose_graph import PoseGraph, optimize
+from ros_gpu_depthmap_fusion_tpu.slam.ate import (
+    ate_rmse, umeyama_align, trajectory_positions)
+from ros_gpu_depthmap_fusion_tpu.slam.frontend import RgbdOdometry
+from ros_gpu_depthmap_fusion_tpu.pipeline.datasets import (
+    SyntheticRigDataset, Sphere, Box)
+
+
+# --- lie --------------------------------------------------------------------
+
+def test_so3_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        w = rng.normal(size=3)
+        w = w / np.linalg.norm(w) * rng.uniform(0.01, 3.0)  # angle < pi
+        r = lie.so3_exp(jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(r) @ np.asarray(r).T,
+                                   np.eye(3), atol=1e-5)
+        w2 = np.asarray(lie.so3_log(r))
+        np.testing.assert_allclose(w2, w, atol=1e-4)
+        # angles beyond pi wrap but exp(log(R)) must reproduce R
+        big = rng.normal(size=3) * 2.5
+        rb = lie.so3_exp(jnp.asarray(big))
+        rb2 = lie.so3_exp(lie.so3_log(rb))
+        np.testing.assert_allclose(np.asarray(rb2), np.asarray(rb),
+                                   atol=1e-4)
+
+
+def test_se3_exp_log_roundtrip():
+    rng = np.random.default_rng(1)
+    xi = rng.normal(size=6)
+    tf = lie.se3_exp(jnp.asarray(xi))
+    xi2 = np.asarray(lie.se3_log(tf))
+    np.testing.assert_allclose(xi2, xi, atol=1e-4)
+    inv = lie.se3_inv(tf)
+    np.testing.assert_allclose(np.asarray(inv @ tf), np.eye(4), atol=1e-5)
+
+
+# --- features ---------------------------------------------------------------
+
+def _checker_image(h=96, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float32)
+    for _ in range(30):
+        y, x = rng.integers(20, h - 20), rng.integers(20, w - 20)
+        s = rng.integers(4, 10)
+        img[y:y + s, x:x + s] = rng.uniform(80, 255)
+    return img
+
+
+def test_fast_detects_corners():
+    img = _checker_image()
+    kps = feat.detect_and_describe(jnp.asarray(img), max_keypoints=128)
+    n = int(np.asarray(kps.valid).sum())
+    assert n > 10
+    # blank image has no corners
+    kps0 = feat.detect_and_describe(jnp.zeros((96, 128)), max_keypoints=128)
+    assert int(np.asarray(kps0.valid).sum()) == 0
+
+
+def test_matching_identity_and_shift():
+    img = _checker_image()
+    a = feat.detect_and_describe(jnp.asarray(img), max_keypoints=128)
+    m = feat.match(a, a)
+    v = np.asarray(m.valid)
+    assert v.sum() >= int(np.asarray(a.valid).sum()) * 0.9
+    np.testing.assert_array_equal(np.asarray(m.idx_b)[v],
+                                  np.asarray(m.idx_a)[v])
+    # translated image: matched keypoints shift by the translation
+    img2 = np.roll(img, (0, 5), axis=(0, 1))
+    b = feat.detect_and_describe(jnp.asarray(img2), max_keypoints=128)
+    m2 = feat.match(a, b)
+    v2 = np.asarray(m2.valid)
+    assert v2.sum() > 10
+    dx = (np.asarray(b.xy)[np.asarray(m2.idx_b)[v2], 0]
+          - np.asarray(a.xy)[np.asarray(m2.idx_a)[v2], 0])
+    assert abs(np.median(dx) - 5) < 1.0
+
+
+# --- pose estimation --------------------------------------------------------
+
+def test_kabsch_exact():
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(20, 3)).astype(np.float32)
+    tf_true = transforms.make_se3(transforms.rot_z(0.7) @ transforms.rot_x(0.2),
+                                  np.array([1.0, -2.0, 0.5]))
+    dst = src @ tf_true[:3, :3].T + tf_true[:3, 3]
+    tf = np.asarray(kabsch(jnp.asarray(src), jnp.asarray(dst),
+                           jnp.ones(20)))
+    np.testing.assert_allclose(tf, tf_true, atol=1e-5)
+
+
+def test_ransac_with_outliers():
+    rng = np.random.default_rng(4)
+    n = 100
+    src = rng.normal(size=(n, 3)).astype(np.float32) * 2
+    tf_true = transforms.make_se3(transforms.rot_y(0.4),
+                                  np.array([0.3, 0.1, -0.2]))
+    dst = src @ tf_true[:3, :3].T + tf_true[:3, 3]
+    outliers = rng.random(n) < 0.3
+    dst[outliers] += rng.normal(size=(outliers.sum(), 3)) * 2.0
+    res = ransac_pose(jnp.asarray(src), jnp.asarray(dst),
+                      jnp.ones(n, bool), jax.random.PRNGKey(0))
+    assert int(res.num_inliers) >= (~outliers).sum() * 0.9
+    np.testing.assert_allclose(np.asarray(res.transform), tf_true, atol=5e-3)
+
+
+def test_unproject_keypoints():
+    depth = np.full((48, 64), 2.0, np.float32)
+    xy = jnp.asarray([[32.0, 24.0], [10.0, 10.0]])
+    pts, ok = unproject_keypoints(xy, jnp.asarray(depth), 50, 50, 32, 24)
+    np.testing.assert_allclose(np.asarray(pts)[0], [0, 0, 2.0], atol=1e-6)
+    assert bool(np.asarray(ok).all())
+
+
+# --- BA ---------------------------------------------------------------------
+
+def _synthetic_ba_problem(noise_pose=0.05, noise_lm=0.05, seed=5,
+                          m=4, l=60, obs_per_kf=None):
+    rng = np.random.default_rng(seed)
+    lms_true = rng.uniform(-3, 3, size=(l, 3)).astype(np.float32)
+    lms_true[:, 2] += 5.0
+    poses_true = np.stack([
+        np.asarray(transforms.make_se3(
+            transforms.rot_y(0.1 * k), np.array([0.5 * k, 0, 0])))
+        for k in range(m)])
+    obs_pose, obs_lm, obs_pt = [], [], []
+    for k in range(m):
+        r = poses_true[k, :3, :3]
+        t = poses_true[k, :3, 3]
+        for j in range(l):
+            p_cam = r.T @ (lms_true[j] - t)
+            if p_cam[2] > 0.5:
+                obs_pose.append(k)
+                obs_lm.append(j)
+                obs_pt.append(p_cam)
+    poses0 = poses_true.copy()
+    for k in range(1, m):
+        poses0[k, :3, 3] += rng.normal(size=3) * noise_pose
+    lms0 = lms_true + rng.normal(size=lms_true.shape) * noise_lm
+    problem = BAProblem(
+        poses=jnp.asarray(poses0.astype(np.float32)),
+        landmarks=jnp.asarray(lms0.astype(np.float32)),
+        obs_pose=jnp.asarray(np.array(obs_pose, np.int32)),
+        obs_lm=jnp.asarray(np.array(obs_lm, np.int32)),
+        obs_pt=jnp.asarray(np.array(obs_pt, np.float32)),
+        obs_valid=jnp.ones(len(obs_pose), bool))
+    return problem, poses_true, lms_true
+
+
+def test_ba_converges():
+    problem, poses_true, lms_true = _synthetic_ba_problem()
+    solved, chi2s = solve_window(problem, iterations=10)
+    chi2s = np.asarray(chi2s)
+    assert chi2s[-1] < chi2s[0] * 1e-3
+    np.testing.assert_allclose(np.asarray(solved.poses)[1:, :3, 3],
+                               poses_true[1:, :3, 3], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(solved.landmarks), lms_true,
+                               atol=1e-3)
+
+
+def test_ba_sharded_matches_single():
+    from ros_gpu_depthmap_fusion_tpu.parallel.mesh import make_mesh
+    from ros_gpu_depthmap_fusion_tpu.slam.ba import build_sharded_ba_step
+    problem, poses_true, _ = _synthetic_ba_problem(l=64)
+    # pad observations to a multiple of 8 shards, landmark-major grouping
+    n_dev = 8
+    l = problem.landmarks.shape[0]
+    assert l % n_dev == 0
+    lps = l // n_dev
+    o = problem.obs_pose.shape[0]
+    shard_obs = [[] for _ in range(n_dev)]
+    for i in range(o):
+        j = int(problem.obs_lm[i])
+        shard_obs[j // lps].append(i)
+    ops = max(len(s) for s in shard_obs)
+    obs_pose = np.zeros((n_dev, ops), np.int32)
+    obs_lm = np.zeros((n_dev, ops), np.int32)
+    obs_pt = np.zeros((n_dev, ops, 3), np.float32)
+    obs_valid = np.zeros((n_dev, ops), bool)
+    for d, idxs in enumerate(shard_obs):
+        for q, i in enumerate(idxs):
+            obs_pose[d, q] = int(problem.obs_pose[i])
+            obs_lm[d, q] = int(problem.obs_lm[i]) - d * lps  # local index
+            obs_pt[d, q] = np.asarray(problem.obs_pt[i])
+            obs_valid[d, q] = True
+    mesh = make_mesh(num_stream=8, num_space=1)
+    step = build_sharded_ba_step(mesh, "stream", num_poses=4,
+                                 landmarks_per_shard=lps,
+                                 obs_per_shard=ops, iterations=10)
+    poses, lms, chi2s = step(
+        problem.poses, problem.landmarks,
+        jnp.asarray(obs_pose.reshape(-1)), jnp.asarray(obs_lm.reshape(-1)),
+        jnp.asarray(obs_pt.reshape(-1, 3)),
+        jnp.asarray(obs_valid.reshape(-1)))
+    single, chi_single = solve_window(problem, iterations=10)
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(single.poses),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(chi2s)[-1],
+                               np.asarray(chi_single)[-1], rtol=1e-3,
+                               atol=1e-6)
+
+
+# --- pose graph -------------------------------------------------------------
+
+def test_pose_graph_closes_loop():
+    rng = np.random.default_rng(7)
+    n = 6
+    poses_true = [np.eye(4, dtype=np.float32)]
+    for k in range(1, n):
+        step = transforms.make_se3(transforms.rot_z(2 * np.pi / n),
+                                   np.array([1.0, 0, 0]))
+        poses_true.append((poses_true[-1] @ step).astype(np.float32))
+    poses_true = np.stack(poses_true)
+    # noisy initialization (drifted odometry)
+    poses0 = poses_true.copy()
+    for k in range(1, n):
+        poses0[k, :3, 3] += rng.normal(size=3) * 0.1
+    edges_i, edges_j, edges_z = [], [], []
+    for k in range(n - 1):
+        edges_i.append(k)
+        edges_j.append(k + 1)
+        edges_z.append(np.linalg.inv(poses_true[k]) @ poses_true[k + 1])
+    # loop closure
+    edges_i.append(n - 1)
+    edges_j.append(0)
+    edges_z.append(np.linalg.inv(poses_true[n - 1]) @ poses_true[0])
+    graph = PoseGraph(
+        poses=jnp.asarray(poses0),
+        edge_i=jnp.asarray(np.array(edges_i, np.int32)),
+        edge_j=jnp.asarray(np.array(edges_j, np.int32)),
+        edge_z=jnp.asarray(np.stack(edges_z).astype(np.float32)),
+        edge_weight=jnp.ones(len(edges_i)))
+    opt, chi2s = optimize(graph, iterations=10)
+    chi2s = np.asarray(chi2s)
+    assert chi2s[-1] < chi2s[0] * 1e-4
+    np.testing.assert_allclose(np.asarray(opt.poses)[:, :3, 3],
+                               poses_true[:, :3, 3], atol=1e-3)
+
+
+# --- ATE --------------------------------------------------------------------
+
+def test_ate_alignment():
+    rng = np.random.default_rng(8)
+    gt = rng.normal(size=(50, 3))
+    tf = transforms.make_se3(transforms.rot_z(1.0), np.array([5, -3, 2]))
+    est = gt @ tf[:3, :3].T + tf[:3, 3]
+    assert ate_rmse(est, gt) < 1e-6
+    est_noisy = est + rng.normal(size=est.shape) * 0.01
+    rmse = ate_rmse(est_noisy, gt)
+    assert 0.005 < rmse < 0.03
+
+
+# --- full odometry on synthetic scene --------------------------------------
+
+def test_odometry_synthetic_trajectory():
+    intr = PinholeIntrinsics.default_for(160, 120)
+    rng = np.random.default_rng(9)
+    spheres = [Sphere(rng.uniform(-2, 2, 3) + [0, 0, 3.5],
+                      rng.uniform(0.2, 0.5)) for _ in range(8)]
+    boxes = [Box(np.array([-0.5, -0.5, 4.0]), np.array([0.8, 0.6, 5.0]))]
+    ds = SyntheticRigDataset(intr, spheres=spheres, boxes=boxes,
+                             ground_z=None)
+    odo = RgbdOdometry(intr, max_keypoints=256, min_inliers=8,
+                       keyframe_translation=0.08, inlier_threshold=0.1)
+    poses_true = []
+    for f in range(8):
+        t = f * 0.04
+        pose = transforms.make_se3(
+            transforms.rot_y(0.02 * f), np.array([t, 0.5 * t, 0.0]))
+        poses_true.append(pose)
+        depth_u16, intensity = ds.render(pose)
+        odo.process(f / 30.0, intensity, depth_u16 * 0.001)
+    est = trajectory_positions(np.stack([p for _, p in odo.trajectory]))
+    gt = trajectory_positions(np.stack(poses_true))
+    rmse = ate_rmse(est, gt)
+    assert rmse < 0.05, rmse
+    # BA refines (or at least does not break) the window
+    chi2 = odo.run_ba(window=8, iterations=5)
+    if chi2 is not None:
+        est2 = trajectory_positions(
+            np.stack([kf.pose for kf in odo.keyframes]))
+        gt_kf = gt[: len(est2)]
+        # only compare if enough keyframes spawned
+        if len(est2) >= 3:
+            assert ate_rmse(est2, gt_kf[: len(est2)]) < 0.1
