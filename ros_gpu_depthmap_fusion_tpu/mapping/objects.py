@@ -22,6 +22,7 @@ import numpy as np
 
 from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
 from ros_gpu_depthmap_fusion_tpu.mapping import geometry as geo
+from ros_gpu_depthmap_fusion_tpu.utils import native
 
 
 @dataclasses.dataclass
@@ -158,7 +159,8 @@ def build_objects(labels: np.ndarray,
                     comp_mask = (labels[z] == l) & in_layer
                     cy, cx = np.unravel_index(
                         np.argmax(comp_mask), comp_mask.shape)
-                    contour = geo._trace_from(comp_mask, int(cy), int(cx))
+                    contour = native.trace_contour(comp_mask, int(cy),
+                                                   int(cx))
                     contour_w = _voxel_xy_to_world(grid, contour)
                     z_w = z * grid.cell_size[2] + grid.lower[2]
                     c3v = np.concatenate(

@@ -26,6 +26,7 @@ rollbuffer_* kernels            :mod:`state.rollbuffer`
 from ros_gpu_depthmap_fusion_tpu.ops import (  # noqa: F401
     mask_ops,
     pack,
+    radius,
     stencil,
     unproject,
     voxel,

@@ -51,6 +51,7 @@ from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
     voxelize_average, voxelize_occupied)
 from ros_gpu_depthmap_fusion_tpu.state import rollbuffer as rbmod
 from ros_gpu_depthmap_fusion_tpu.state.rollbuffer import RollBuffer
+from ros_gpu_depthmap_fusion_tpu.utils import native
 
 
 class EngineState(NamedTuple):
@@ -167,6 +168,15 @@ def fusion_step(state: EngineState,
     # -- 8. crop (crop-frame AABB) --
     all_mask = crop_points(all_crop, all_mask, cfg.crop_min, cfg.crop_max)
 
+    # -- 8b. radius outlier filter (capability the reference stubs out;
+    #        disabled by default to match its effective behavior) --
+    if cfg.enable_radius_filter:
+        from ros_gpu_depthmap_fusion_tpu.ops.radius import (
+            filter_radius_outliers)
+        all_mask = filter_radius_outliers(
+            all_world, all_mask, cfg.radius_min, cfg.radius_max,
+            cfg.radius_filter_radius)
+
     # -- 9. deterministic compaction of world points --
     total_cap = n_depth + sel_cap
     raw_points, raw_count = compact(all_world, all_mask, total_cap)
@@ -280,8 +290,8 @@ class FusionEngine:
         if n <= 0 or len(self._seq_meta) >= self._seq_stage_cap:
             return
         sl = slice(self._seq_fill, self._seq_fill + n)
-        self._seq_points[sl, :3] = points_xyz[:n]
-        self._seq_points[sl, 3] = 1.0
+        native.stage_points_xyz(np.asarray(points_xyz[:n], np.float32),
+                                self._seq_points[sl])
         self._seq_idx[sl] = len(self._seq_meta)
         self._seq_meta.append((sec, nsec, n, np.asarray(tf_move, np.float32)))
         self._seq_fill += n

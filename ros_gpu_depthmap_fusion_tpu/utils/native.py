@@ -1,0 +1,203 @@
+"""ctypes bindings for the native host runtime (``native/libfusionhost.so``).
+
+The library covers the reference's host-side C++ roles (SURVEY.md §2.4):
+depth-pair packing, OpenMP LSD radix sort + grouping, connected-component
+labeling with stats, Moore contour tracing, and point staging. Every entry
+point has a pure-numpy fallback so the framework works without a compiled
+library; ``available()`` reports which path is active. The library is built
+on demand with ``make`` (gcc in-image; no external deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfusionhost.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+
+    lib.fh_pack_depth_pairs.argtypes = [u16p, u32p, i64]
+    lib.fh_unpack_depth_pairs.argtypes = [u32p, u16p, i64]
+    lib.fh_radix_sort_u32.argtypes = [u32p, u32p, u32p, i64]
+    lib.fh_group_sorted_u32.argtypes = [u32p, i64, i64p, i64p, u32p, i64]
+    lib.fh_group_sorted_u32.restype = i64
+    lib.fh_cc_label_u8.argtypes = [u8p, u16p, i32, i32, i32p, f64p, i32]
+    lib.fh_cc_label_u8.restype = i32
+    lib.fh_trace_contour.argtypes = [u8p, i32, i32, i32, i32, i32p, i64]
+    lib.fh_trace_contour.restype = i64
+    lib.fh_stage_points_xyz.argtypes = [f32p, i64, i64, f32p, i64]
+    lib.fh_stage_points_xyz.restype = i64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+def pack_depth_pairs(depth_u16: np.ndarray) -> np.ndarray:
+    d = np.ascontiguousarray(depth_u16.reshape(-1), np.uint16)
+    n = d.size // 2
+    lib = _load()
+    out = np.empty(n, np.uint32)
+    if lib is not None:
+        lib.fh_pack_depth_pairs(d, out, n)
+        return out
+    dd = d.astype(np.uint32).reshape(-1, 2)
+    return dd[:, 0] | (dd[:, 1] << 16)
+
+
+def unpack_depth_pairs(pairs_u32: np.ndarray) -> np.ndarray:
+    p = np.ascontiguousarray(pairs_u32, np.uint32)
+    lib = _load()
+    out = np.empty(p.size * 2, np.uint16)
+    if lib is not None:
+        lib.fh_unpack_depth_pairs(p, out, p.size)
+        return out
+    out[0::2] = (p & 0xFFFF).astype(np.uint16)
+    out[1::2] = (p >> 16).astype(np.uint16)
+    return out
+
+
+def radix_sort_u32(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Stable ascending sort; returns (sorted_keys, original_indices)."""
+    k = np.ascontiguousarray(keys, np.uint32)
+    lib = _load()
+    if lib is not None:
+        out_k = np.empty_like(k)
+        out_i = np.empty(k.size, np.uint32)
+        lib.fh_radix_sort_u32(k, out_k, out_i, k.size)
+        return out_k, out_i
+    order = np.argsort(k, kind="stable").astype(np.uint32)
+    return k[order], order
+
+
+def group_sorted_u32(sorted_keys: np.ndarray, cap: Optional[int] = None):
+    """(starts, sizes, values, num_groups) over a sorted key array."""
+    k = np.ascontiguousarray(sorted_keys, np.uint32)
+    cap = cap or k.size
+    lib = _load()
+    starts = np.zeros(cap, np.int64)
+    sizes = np.zeros(cap, np.int64)
+    values = np.zeros(cap, np.uint32)
+    if lib is not None and k.size:
+        n = int(lib.fh_group_sorted_u32(k, k.size, starts, sizes, values,
+                                        cap))
+        return starts, sizes, values, n
+    if k.size == 0:
+        return starts, sizes, values, 0
+    is_start = np.empty(k.size, bool)
+    is_start[0] = True
+    is_start[1:] = k[1:] != k[:-1]
+    st = np.flatnonzero(is_start)
+    n = min(len(st), cap)
+    starts[:n] = st[:n]
+    ends = np.concatenate([st[1:], [k.size]])
+    sizes[:n] = (ends - st)[:n]
+    values[:n] = k[st[:n]]
+    return starts, sizes, values, n
+
+
+def cc_label(img: np.ndarray, max_labels: int = 65535
+             ) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
+    """8-connected labeling of a [H, W] binary image. Returns
+    (labels u16, num_labels incl background, stats [num, 5] (x, y, w, h,
+    area), centroids [num, 2])."""
+    m = np.ascontiguousarray((np.asarray(img) != 0).astype(np.uint8))
+    h, w = m.shape
+    labels = np.zeros((h, w), np.uint16)
+    lib = _load()
+    if lib is not None:
+        cap = min(max_labels, h * w + 1)
+        stats = np.zeros((cap, 5), np.int32)
+        cents = np.zeros((cap, 2), np.float64)
+        num = int(lib.fh_cc_label_u8(m, labels.reshape(-1), h, w,
+                                     stats.reshape(-1), cents.reshape(-1),
+                                     cap))
+        return labels, num, stats[:num], cents[:num]
+    # numpy fallback: BFS labeling (test-scale)
+    from ros_gpu_depthmap_fusion_tpu.mapping.geometry import _label8
+    lab = _label8(m.astype(bool)).astype(np.uint16)
+    num = int(lab.max()) + 1
+    stats = np.zeros((num, 5), np.int32)
+    cents = np.zeros((num, 2), np.float64)
+    for l in range(num):
+        ys, xs = np.nonzero(lab == l) if l else np.nonzero(lab == 0)
+        if len(xs) == 0:
+            continue
+        stats[l] = [xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                    ys.max() - ys.min() + 1, len(xs)]
+        cents[l] = [xs.mean(), ys.mean()]
+    return lab, num, stats, cents
+
+
+def trace_contour(mask: np.ndarray, sy: int, sx: int) -> np.ndarray:
+    """Moore contour from the component's first raster pixel; [K, 2] (x, y)."""
+    lib = _load()
+    m = np.ascontiguousarray((np.asarray(mask) != 0).astype(np.uint8))
+    h, w = m.shape
+    if lib is not None:
+        cap = 4 * (h + w) + 8 * max(h, w)
+        out = np.zeros(2 * cap, np.int32)
+        n = int(lib.fh_trace_contour(m, h, w, sy, sx, out, cap))
+        if n < cap:
+            return out[:2 * n].reshape(-1, 2)
+        # retry with the worst-case bound
+        cap = 4 * h * w + 4
+        out = np.zeros(2 * cap, np.int32)
+        n = int(lib.fh_trace_contour(m, h, w, sy, sx, out, cap))
+        return out[:2 * n].reshape(-1, 2)
+    from ros_gpu_depthmap_fusion_tpu.mapping.geometry import _trace_from
+    return _trace_from(m.astype(bool), sy, sx)
+
+
+def stage_points_xyz(xyz: np.ndarray, out: np.ndarray) -> int:
+    """Copy [N, >=3] float32 points into an [cap, 4] staging buffer with
+    w = 1; returns the number staged."""
+    src = np.ascontiguousarray(xyz, np.float32)
+    lib = _load()
+    cap = out.shape[0]
+    if lib is not None and out.flags["C_CONTIGUOUS"]:
+        return int(lib.fh_stage_points_xyz(
+            src.reshape(src.shape[0], -1), src.shape[0], src.shape[1]
+            if src.ndim > 1 else 3, out.reshape(-1), cap))
+    n = min(len(src), cap)
+    out[:n, :3] = src[:n, :3]
+    out[:n, 3] = 1.0
+    return n
