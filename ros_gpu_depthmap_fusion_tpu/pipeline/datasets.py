@@ -75,10 +75,12 @@ class DepthFrame:
     intrinsics: PinholeIntrinsics
     tf_world_cam: Optional[np.ndarray]  # None when no groundtruth near stamp
     depth_scale: float
+    intensity: Optional[np.ndarray] = None  # grayscale image, if available
 
 
 class TumRgbdDataset:
-    """TUM RGB-D sequence directory (depth.txt + depth/ + groundtruth.txt)."""
+    """TUM RGB-D sequence directory (depth.txt + depth/ + groundtruth.txt,
+    optional rgb.txt with grayscale PNGs associated by timestamp)."""
 
     def __init__(self, root: str, max_assoc_dt: float = 0.02,
                  intrinsics: Optional[PinholeIntrinsics] = None):
@@ -90,6 +92,9 @@ class TumRgbdDataset:
                 fr = key
         self.intrinsics = intrinsics or TUM_INTRINSICS[fr]
         self.depth_index = self._read_index(os.path.join(root, "depth.txt"))
+        rgb_path = os.path.join(root, "rgb.txt")
+        self.rgb_index = (self._read_index(rgb_path)
+                          if os.path.exists(rgb_path) else [])
         self.groundtruth = self._read_groundtruth(
             os.path.join(root, "groundtruth.txt"))
         self.max_assoc_dt = max_assoc_dt
@@ -138,13 +143,24 @@ class TumRgbdDataset:
     def __len__(self) -> int:
         return len(self.depth_index)
 
+    def _intensity_at(self, stamp: float) -> Optional[np.ndarray]:
+        if not self.rgb_index:
+            return None
+        stamps = np.array([s for s, _ in self.rgb_index])
+        i = int(np.argmin(np.abs(stamps - stamp)))
+        if abs(stamps[i] - stamp) > self.max_assoc_dt:
+            return None
+        img = read_png_gray(os.path.join(self.root, self.rgb_index[i][1]))
+        return img.astype(np.float32)
+
     def __iter__(self) -> Iterator[DepthFrame]:
         for stamp, rel in self.depth_index:
             depth = read_png_gray(os.path.join(self.root, rel))
             yield DepthFrame(stamp=stamp, depth_u16=depth,
                              intrinsics=self.intrinsics,
                              tf_world_cam=self.pose_at(stamp),
-                             depth_scale=TUM_DEPTH_SCALE)
+                             depth_scale=TUM_DEPTH_SCALE,
+                             intensity=self._intensity_at(stamp))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,169 @@
+"""TUM RGB-D sequence runner: full frontend + backend.
+
+Runs a TUM-format sequence through the complete stack (BASELINE config #4):
+
+    depth PNGs -> SLAM odometry (FAST/BRIEF + RANSAC) [+ windowed BA]
+               -> per-frame camera pose
+               -> fusion engine (unproject/filter/crop/voxelize/occupancy)
+               -> fused map + occupancy statistics
+    + ATE vs. groundtruth when the sequence provides it.
+
+Poses can come from the odometry (``pose_source="slam"``) or from
+groundtruth (``"groundtruth"``, the reference's externally-posed operating
+mode). Works on any directory in TUM layout — including synthetic ones
+written by :func:`write_synthetic_tum_sequence`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+from ros_gpu_depthmap_fusion_tpu.core import transforms
+from ros_gpu_depthmap_fusion_tpu.pipeline.datasets import (
+    DepthFrame, SyntheticRigDataset, TumRgbdDataset, rot_to_quat)
+from ros_gpu_depthmap_fusion_tpu.pipeline.engine import FusionEngine
+from ros_gpu_depthmap_fusion_tpu.slam.ate import (
+    ate_rmse, trajectory_positions)
+from ros_gpu_depthmap_fusion_tpu.slam.frontend import RgbdOdometry
+from ros_gpu_depthmap_fusion_tpu.utils.png import write_png_gray
+
+
+@dataclasses.dataclass
+class TumRunResult:
+    frames: int
+    ate_rmse_m: Optional[float]
+    trajectory: np.ndarray          # [N, 3] estimated positions
+    groundtruth: Optional[np.ndarray]
+    occupied_cells: int
+    fused_points_last: int
+    keyframes: int
+
+
+def run_tum_sequence(root: str,
+                     cfg: Optional[FusionConfig] = None,
+                     pose_source: str = "slam",
+                     max_frames: Optional[int] = None,
+                     ba_every: int = 8,
+                     intensity_from_depth: bool = True) -> TumRunResult:
+    ds = TumRgbdDataset(root)
+    intr = ds.intrinsics
+    if cfg is None:
+        cfg = FusionConfig(
+            num_depth_streams=1,
+            depth_height=intr.height, depth_width=intr.width,
+            depth_scale=1.0 / 5000.0,
+            crop_min=(-8, -8, -8), crop_max=(8, 8, 8),
+            voxel_min=(-8, -8, -8), voxel_max=(8, 8, 8),
+            voxel_size=(0.05, 0.05, 0.05),
+            voxel_occupancy_lifetime=10,
+            flyingpixels_filter_threshold=0.3,
+            rollbuffer_point_capacity=1024,
+            max_points_per_sequence=64)
+    engine = FusionEngine(cfg)
+    odo = RgbdOdometry(intr, max_keypoints=512, min_inliers=12,
+                       inlier_threshold=0.08)
+
+    est_positions: List[np.ndarray] = []
+    gt_positions: List[np.ndarray] = []
+    out = None
+    n = 0
+    for frame in ds:
+        if max_frames is not None and n >= max_frames:
+            break
+        depth_m = frame.depth_u16.astype(np.float32) * frame.depth_scale
+        if pose_source == "slam":
+            if frame.intensity is not None:
+                intensity = frame.intensity
+            elif intensity_from_depth:
+                # shaded-depth fallback when the sequence has no rgb stream
+                intensity = np.clip(depth_m * 40.0, 0, 255).astype(np.float32)
+            else:
+                intensity = depth_m.astype(np.float32)
+            r = odo.process(frame.stamp, intensity, depth_m)
+            pose = r.pose
+            if ba_every and r.is_keyframe and \
+                    len(odo.keyframes) % ba_every == 0:
+                odo.run_ba(window=8, iterations=4)
+                pose = odo.pose
+        else:
+            pose = frame.tf_world_cam
+            if pose is None:
+                continue  # no groundtruth near this stamp
+        engine.add_depthmap(0, frame.depth_u16, frame.intrinsics,
+                            np.asarray(pose, np.float32),
+                            np.asarray(pose, np.float32))
+        # scale depth via config (engine uses cfg.depth_scale)
+        out = engine.process(frame.stamp)
+        est_positions.append(np.asarray(pose)[:3, 3])
+        if frame.tf_world_cam is not None:
+            gt_positions.append(frame.tf_world_cam[:3, 3])
+        else:
+            gt_positions.append(None)
+        n += 1
+
+    paired = [(e, g) for e, g in zip(est_positions, gt_positions)
+              if g is not None]
+    ate = None
+    gt_arr = None
+    if len(paired) >= 3:
+        est_arr = np.stack([e for e, _ in paired])
+        gt_arr = np.stack([g for _, g in paired])
+        ate = ate_rmse(est_arr, gt_arr)
+    occ = int((np.asarray(out.occupancy_u8) > 0).sum()) if out else 0
+    return TumRunResult(
+        frames=n, ate_rmse_m=ate,
+        trajectory=np.stack(est_positions) if est_positions else
+        np.zeros((0, 3)),
+        groundtruth=gt_arr,
+        occupied_cells=occ,
+        fused_points_last=int(out.fused_count) if out else 0,
+        keyframes=len(odo.keyframes))
+
+
+def write_synthetic_tum_sequence(root: str, n_frames: int = 12,
+                                 width: int = 160, height: int = 120,
+                                 seed: int = 0) -> None:
+    """Write a TUM-layout sequence (depth.txt + depth/*.png +
+    groundtruth.txt) rendered from the synthetic rig — lets the full TUM
+    path (PNG decode, association, ATE) run without the real dataset."""
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.pipeline.datasets import Sphere, Box
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    intr = PinholeIntrinsics.default_for(width, height)
+    ds = SyntheticRigDataset(
+        intr,
+        spheres=[Sphere(rng.uniform(-2, 2, 3) + [0, 0, 3.5],
+                        rng.uniform(0.3, 0.6)) for _ in range(8)],
+        boxes=[Box(np.array([-1.0, -0.8, 4.5]), np.array([0.8, 0.9, 6.0]))],
+        ground_z=None, depth_scale=1.0 / 5000.0)
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    t0 = 1305031102.0
+    with open(os.path.join(root, "depth.txt"), "w") as fd, \
+            open(os.path.join(root, "rgb.txt"), "w") as fr, \
+            open(os.path.join(root, "groundtruth.txt"), "w") as fg:
+        fd.write("# synthetic depth\n# timestamp filename\n")
+        fr.write("# synthetic rgb (grayscale)\n# timestamp filename\n")
+        fg.write("# synthetic groundtruth\n")
+        for f in range(n_frames):
+            stamp = t0 + f / 30.0
+            t = f * 0.04
+            pose = transforms.make_se3(
+                transforms.rot_y(0.02 * f),
+                np.array([t, 0.3 * np.sin(2 * t), 0.01 * f]))
+            depth, intensity = ds.render(pose)
+            rel = f"depth/{stamp:.6f}.png"
+            rel_rgb = f"rgb/{stamp:.6f}.png"
+            write_png_gray(os.path.join(root, rel), depth)
+            write_png_gray(os.path.join(root, rel_rgb),
+                           np.clip(intensity, 0, 255).astype(np.uint8))
+            fd.write(f"{stamp:.6f} {rel}\n")
+            fr.write(f"{stamp:.6f} {rel_rgb}\n")
+            qx, qy, qz, qw = rot_to_quat(pose[:3, :3])
+            tx, ty, tz = pose[:3, 3]
+            fg.write(f"{stamp:.6f} {tx} {ty} {tz} {qx} {qy} {qz} {qw}\n")
