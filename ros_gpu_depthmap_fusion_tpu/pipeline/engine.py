@@ -262,19 +262,27 @@ class FusionEngine:
     def clear(self):
         c = self.cfg.num_depth_streams
         h, w = self.cfg.depth_height, self.cfg.depth_width
-        self._depth = np.zeros((c, h, w), np.uint16)
+        # per-camera device buffers: add_depthmap starts the host->device
+        # transfer immediately (async dispatch), overlapping it with the
+        # previous frame's compute — the transfer is the bottleneck, not
+        # the fused step (0.09 ms device vs ~5 ms for 6.5 MB of depth)
+        self._depth_dev = [None] * c
+        if not hasattr(self, "_zero_depth"):
+            self._zero_depth = jnp.zeros((h, w), jnp.uint16)
         self._intr = np.zeros((c, 4), np.float32)
         self._tf_world = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
         self._tf_crop = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
-        self._seq_points = np.zeros((self._stage_cap, 4), np.float32)
-        self._seq_idx = np.zeros((self._stage_cap,), np.int32)
+        if not hasattr(self, "_seq_points"):
+            self._seq_points = np.zeros((self._stage_cap, 4), np.float32)
+            self._seq_idx = np.zeros((self._stage_cap,), np.int32)
         self._seq_meta = []          # (sec, nsec, count, tf_move)
         self._seq_fill = 0
 
     def add_depthmap(self, slot: int, depth_u16: np.ndarray,
                      intrinsics, tf_world: np.ndarray,
                      tf_crop: np.ndarray):
-        self._depth[slot] = depth_u16
+        self._depth_dev[slot] = jax.device_put(
+            np.ascontiguousarray(depth_u16, np.uint16))
         self._intr[slot] = np.asarray(
             intrinsics.as_array() if hasattr(intrinsics, "as_array")
             else intrinsics, np.float32)
@@ -296,7 +304,9 @@ class FusionEngine:
         self._seq_meta.append((sec, nsec, n, np.asarray(tf_move, np.float32)))
         self._seq_fill += n
 
-    def _make_seq_batch(self) -> SequenceBatch:
+    def _make_seq_batch_np(self) -> SequenceBatch:
+        """SequenceBatch of host numpy arrays (transferred in one batched
+        device_put together with the rest of the frame inputs)."""
         s_cap = self._seq_stage_cap
         sec = np.zeros(s_cap, np.int32)
         nsec = np.zeros(s_cap, np.int32)
@@ -306,12 +316,10 @@ class FusionEngine:
             sec[i], nsec[i], cnt[i] = s, ns, n
             tfs[i] = tf
         return SequenceBatch(
-            points=jnp.asarray(self._seq_points),
-            seq_idx=jnp.asarray(self._seq_idx),
-            seq_sec=jnp.asarray(sec), seq_nsec=jnp.asarray(nsec),
-            seq_count=jnp.asarray(cnt), seq_tf_move=jnp.asarray(tfs),
-            num_points=jnp.int32(self._seq_fill),
-            num_seqs=jnp.int32(len(self._seq_meta)))
+            points=self._seq_points, seq_idx=self._seq_idx,
+            seq_sec=sec, seq_nsec=nsec, seq_count=cnt, seq_tf_move=tfs,
+            num_points=np.int32(self._seq_fill),
+            num_seqs=np.int32(len(self._seq_meta)))
 
     # --- the frame step ---
     def process(self, now_seconds: float,
@@ -323,20 +331,28 @@ class FusionEngine:
             self.cfg.point_sequence_aggregation_timespan)
         min_sec, min_nsec = timeutil.decode(max(min_ns, 0))
         eye = np.eye(4, dtype=np.float32)
-        inp = FrameInputs(
-            depth=jnp.asarray(self._depth),
-            intrinsics=jnp.asarray(self._intr),
-            tf_world=jnp.asarray(self._tf_world),
-            tf_crop=jnp.asarray(self._tf_crop),
-            seq_batch=self._make_seq_batch(),
-            tf_world_move=jnp.asarray(
-                eye if tf_world_move is None else tf_world_move),
-            tf_crop_move=jnp.asarray(
-                eye if tf_crop_move is None else tf_crop_move),
-            now_sec=jnp.int32(now_sec), now_nsec=jnp.int32(now_nsec),
-            roll_min_sec=jnp.int32(min_sec),
-            roll_min_nsec=jnp.int32(min_nsec),
+        depth = jnp.stack([
+            d if d is not None else self._zero_depth
+            for d in self._depth_dev])
+        # one batched transfer for everything except the (already in-flight)
+        # per-camera depth buffers: each separate device_put pays a host
+        # round-trip, which dominates at these sizes
+        small_host = FrameInputs(
+            depth=None,
+            intrinsics=self._intr,
+            tf_world=self._tf_world,
+            tf_crop=self._tf_crop,
+            seq_batch=self._make_seq_batch_np(),
+            tf_world_move=np.asarray(
+                eye if tf_world_move is None else tf_world_move,
+                np.float32),
+            tf_crop_move=np.asarray(
+                eye if tf_crop_move is None else tf_crop_move, np.float32),
+            now_sec=np.int32(now_sec), now_nsec=np.int32(now_nsec),
+            roll_min_sec=np.int32(min_sec),
+            roll_min_nsec=np.int32(min_nsec),
         )
+        inp = jax.device_put(small_host)._replace(depth=depth)
         self.state, out = self.step(self.state, inp)
         # reset per-frame staging (reference clear(), cpp:725-732 — keeps
         # the rollbuffer, drops per-frame inputs)
