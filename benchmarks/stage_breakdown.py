@@ -90,10 +90,7 @@ def main():
         print(f"{name:28s} {t*1e6:12.1f} us")
     print(f"{'sum of stages':28s} {sum(t for _, t in rows)*1e6:12.1f} us")
 
-    step = build_fusion_step(cfg, grid, donate=False)
-    state = initial_state(cfg, grid)
-    from examples.run_minimal_slice import __doc__  # noqa: F401 (path check)
-    # build a frame input via the engine's staging helpers
+    # fused end-to-end step via the engine's staging helpers
     from ros_gpu_depthmap_fusion_tpu.pipeline.engine import FusionEngine
     eng = FusionEngine(cfg)
     for i in range(C):
