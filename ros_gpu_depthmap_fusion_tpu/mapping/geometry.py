@@ -72,9 +72,13 @@ def _row_extremes(pts: np.ndarray) -> np.ndarray:
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone chain; returns hull vertices CCW, ``[H, 2]``."""
-    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    pts = np.asarray(points, dtype=np.float64)
     if len(pts) > 64:
+        # skip the full dedup sort: the row-extreme prefilter already
+        # lexsorts and a few residual duplicates are harmless to the chain
         pts = _row_extremes(pts)
+    else:
+        pts = np.unique(pts, axis=0)
     if len(pts) <= 2:
         return pts
     # sort by (x, y)
@@ -113,27 +117,24 @@ def min_area_rect(points: np.ndarray) -> RotatedRect:
         return RotatedRect((float(c[0]), float(c[1])),
                            (float(np.hypot(*d)), 0.0),
                            math.degrees(math.atan2(d[1], d[0])))
-    best = None
-    n = len(hull)
-    for i in range(n):
-        e = hull[(i + 1) % n] - hull[i]
-        norm = np.hypot(*e)
-        if norm < 1e-12:
-            continue
-        ux = e / norm                     # edge direction
-        uy = np.array([-ux[1], ux[0]])    # normal
-        proj_x = hull @ ux
-        proj_y = hull @ uy
-        w = proj_x.max() - proj_x.min()
-        h = proj_y.max() - proj_y.min()
-        area = w * h
-        if best is None or area < best[0]:
-            cx = (proj_x.max() + proj_x.min()) / 2
-            cy = (proj_y.max() + proj_y.min()) / 2
-            center = cx * ux + cy * uy
-            angle = math.degrees(math.atan2(ux[1], ux[0]))
-            best = (area, center, w, h, angle)
-    _, center, w, h, angle = best
+    # all candidate edges at once (rotating calipers, vectorized)
+    e = np.roll(hull, -1, axis=0) - hull            # [N, 2]
+    norms = np.hypot(e[:, 0], e[:, 1])
+    keep = norms > 1e-12
+    e = e[keep]
+    norms = norms[keep]
+    ux = e / norms[:, None]                         # [E, 2]
+    uy = np.stack([-ux[:, 1], ux[:, 0]], axis=-1)
+    px = hull @ ux.T                                # [N, E]
+    py = hull @ uy.T
+    pxm, pxM = px.min(axis=0), px.max(axis=0)
+    pym, pyM = py.min(axis=0), py.max(axis=0)
+    ws = pxM - pxm
+    hs = pyM - pym
+    i = int(np.argmin(ws * hs))
+    w, h = float(ws[i]), float(hs[i])
+    center = ((pxM[i] + pxm[i]) / 2) * ux[i] + ((pyM[i] + pym[i]) / 2) * uy[i]
+    angle = math.degrees(math.atan2(ux[i, 1], ux[i, 0]))
     # normalize angle into [0, 90) with a size swap, mirroring the modern
     # OpenCV convention so downstream 90-degree wrap filters behave
     angle = angle % 180.0

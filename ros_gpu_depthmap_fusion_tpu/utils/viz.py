@@ -9,11 +9,12 @@ centroid debug cloud (``out/VizPcl``, cpp:333-384).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import TYPE_CHECKING, List, Sequence
 
 import numpy as np
 
-from ros_gpu_depthmap_fusion_tpu.mapping.tracking import CCObjectTrack
+if TYPE_CHECKING:  # avoid a circular import at runtime (tracking -> objects
+    from ros_gpu_depthmap_fusion_tpu.mapping.tracking import CCObjectTrack
 
 SCORE_DISPLAY_THRESHOLD = 0.65  # _component.cpp:928
 
