@@ -15,9 +15,34 @@ Prints ONE JSON line.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _supervised() -> int:
+    """Run the benchmark in a child process with timeout + retry: the TPU
+    tunnel in this environment occasionally wedges a fresh process at
+    startup (see CLAUDE.md); a 60 s cool-down and retry recovers it."""
+    env = dict(os.environ, BENCH_CHILD="1")
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=420)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt + 1} timed out; "
+                             "cooling down 60s\n")
+        time.sleep(60)
+    return 1
 
 
 def main():
@@ -89,4 +114,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervised())
