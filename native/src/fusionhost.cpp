@@ -16,6 +16,7 @@
 // Exposed as a plain C ABI for ctypes.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -284,6 +285,454 @@ int64_t fh_trace_contour(const uint8_t* mask, int32_t h, int32_t w,
     backtrack = (found + 4) & 7;
     if (n > 4 * (int64_t)h * w) return n;  // safety backstop
   }
+}
+
+// ---------------------------------------------------------------------------
+// Segmented-object assembly (the reference's createCCObjects tail,
+// gpu_depthmap_fusion.cpp:2364-2550, plus the cv::minAreaRect /
+// cv::minEnclosingCircle / findContours work it leans on): one call per
+// frame turns the device segmentation outputs (per-layer labels + the
+// (layer, local-label) -> merged-label lookup) into grouped per-object
+// point sets, convex hulls, min-area rects, min enclosing circles,
+// topviews and per-component Moore contours. Mirrors the semantics of the
+// Python path in mapping/objects.py (the parity oracle).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PD {
+  double x, y;
+};
+
+static inline double cross3(const PD& o, const PD& a, const PD& b) {
+  return (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x);
+}
+
+// Andrew monotone chain over lex-(x, y)-sorted unique points -> CCW hull
+// (identical pop rule to mapping/geometry.py convex_hull: cross <= 0).
+static void hull_chain(const std::vector<PD>& pts, std::vector<PD>& out) {
+  out.clear();
+  size_t n = pts.size();
+  if (n <= 2) {
+    out = pts;
+    return;
+  }
+  std::vector<PD> lower, upper;
+  lower.reserve(n);
+  upper.reserve(n);
+  for (size_t i = 0; i < n; ++i) {
+    while (lower.size() >= 2 &&
+           cross3(lower[lower.size() - 2], lower.back(), pts[i]) <= 0)
+      lower.pop_back();
+    lower.push_back(pts[i]);
+  }
+  for (size_t ii = n; ii-- > 0;) {
+    while (upper.size() >= 2 &&
+           cross3(upper[upper.size() - 2], upper.back(), pts[ii]) <= 0)
+      upper.pop_back();
+    upper.push_back(pts[ii]);
+  }
+  out.assign(lower.begin(), lower.end() - 1);
+  out.insert(out.end(), upper.begin(), upper.end() - 1);
+}
+
+// Min-area bounding rect by rotating calipers over hull edges; matches
+// mapping/geometry.py min_area_rect incl. the [0, 90) angle normalization
+// with size swap. out5 = cx, cy, w, h, angle_deg.
+static void fit_rect(const std::vector<PD>& hull, double* out5) {
+  size_t n = hull.size();
+  out5[0] = out5[1] = out5[2] = out5[3] = out5[4] = 0.0;
+  if (n == 0) return;
+  if (n == 1) {
+    out5[0] = hull[0].x;
+    out5[1] = hull[0].y;
+    return;
+  }
+  if (n == 2) {
+    double dx = hull[1].x - hull[0].x, dy = hull[1].y - hull[0].y;
+    out5[0] = (hull[0].x + hull[1].x) / 2;
+    out5[1] = (hull[0].y + hull[1].y) / 2;
+    out5[2] = std::hypot(dx, dy);
+    out5[3] = 0.0;
+    out5[4] = std::atan2(dy, dx) * 180.0 / M_PI;
+    return;
+  }
+  double best_area = 1e300;
+  double bux = 1, buy = 0, bxm = 0, bxM = 0, bym = 0, byM = 0;
+  for (size_t i = 0; i < n; ++i) {
+    const PD& a = hull[i];
+    const PD& b = hull[(i + 1) % n];
+    double ex = b.x - a.x, ey = b.y - a.y;
+    double norm = std::hypot(ex, ey);
+    if (norm <= 1e-12) continue;
+    double ux = ex / norm, uy = ey / norm;
+    // projections onto edge dir (ux, uy) and its normal (-uy, ux)
+    double xm = 1e300, xM = -1e300, ym = 1e300, yM = -1e300;
+    for (size_t j = 0; j < n; ++j) {
+      double px = hull[j].x * ux + hull[j].y * uy;
+      double py = hull[j].x * -uy + hull[j].y * ux;
+      xm = std::min(xm, px);
+      xM = std::max(xM, px);
+      ym = std::min(ym, py);
+      yM = std::max(yM, py);
+    }
+    double area = (xM - xm) * (yM - ym);
+    if (area < best_area) {
+      best_area = area;
+      bux = ux;
+      buy = uy;
+      bxm = xm;
+      bxM = xM;
+      bym = ym;
+      byM = yM;
+    }
+  }
+  double w = bxM - bxm, h = byM - bym;
+  double cx = (bxM + bxm) / 2 * bux + (byM + bym) / 2 * -buy;
+  double cy = (bxM + bxm) / 2 * buy + (byM + bym) / 2 * bux;
+  double angle = std::atan2(buy, bux) * 180.0 / M_PI;
+  angle = std::fmod(angle, 180.0);
+  if (angle < 0) angle += 180.0;
+  if (angle >= 90.0) {
+    angle -= 90.0;
+    std::swap(w, h);
+  }
+  out5[0] = cx;
+  out5[1] = cy;
+  out5[2] = w;
+  out5[3] = h;
+  out5[4] = angle;
+}
+
+// Welzl min enclosing circle (iterative move-to-front form on a
+// deterministically LCG-shuffled copy). out3 = cx, cy, r.
+static void circle_two(const PD& a, const PD& b, double* c) {
+  c[0] = (a.x + b.x) / 2;
+  c[1] = (a.y + b.y) / 2;
+  c[2] = std::hypot(a.x - c[0], a.y - c[1]);
+}
+
+static void circle_three(const PD& a, const PD& b, const PD& cc, double* c) {
+  double d = 2 * (a.x * (b.y - cc.y) + b.x * (cc.y - a.y) +
+                  cc.x * (a.y - b.y));
+  if (std::fabs(d) < 1e-12) {
+    double dab = std::hypot(a.x - b.x, a.y - b.y);
+    double dac = std::hypot(a.x - cc.x, a.y - cc.y);
+    double dbc = std::hypot(b.x - cc.x, b.y - cc.y);
+    if (dab >= dac && dab >= dbc)
+      circle_two(a, b, c);
+    else if (dac >= dbc)
+      circle_two(a, cc, c);
+    else
+      circle_two(b, cc, c);
+    return;
+  }
+  double a2 = a.x * a.x + a.y * a.y;
+  double b2 = b.x * b.x + b.y * b.y;
+  double c2 = cc.x * cc.x + cc.y * cc.y;
+  c[0] = (a2 * (b.y - cc.y) + b2 * (cc.y - a.y) + c2 * (a.y - b.y)) / d;
+  c[1] = (a2 * (cc.x - b.x) + b2 * (a.x - cc.x) + c2 * (b.x - a.x)) / d;
+  c[2] = std::hypot(a.x - c[0], a.y - c[1]);
+}
+
+static inline bool in_circle(const double* c, const PD& q) {
+  return std::hypot(q.x - c[0], q.y - c[1]) <= c[2] + 1e-7;
+}
+
+static void fit_circle(const std::vector<PD>& hull, double* out3) {
+  out3[0] = out3[1] = out3[2] = 0.0;
+  size_t n = hull.size();
+  if (n == 0) return;
+  if (n == 1) {
+    out3[0] = hull[0].x;
+    out3[1] = hull[0].y;
+    return;
+  }
+  std::vector<PD> p(hull);
+  uint64_t s = 0x9E3779B97F4A7C15ull;
+  for (size_t i = n - 1; i > 0; --i) {
+    s = s * 6364136223846793005ull + 1442695040888963407ull;
+    size_t j = (size_t)(s % (i + 1));
+    std::swap(p[i], p[j]);
+  }
+  circle_two(p[0], p[1], out3);
+  for (size_t i = 2; i < n; ++i) {
+    if (in_circle(out3, p[i])) continue;
+    circle_two(p[0], p[i], out3);
+    for (size_t j = 1; j < i; ++j) {
+      if (in_circle(out3, p[j])) continue;
+      circle_two(p[i], p[j], out3);
+      for (size_t k = 0; k < j; ++k) {
+        if (in_circle(out3, p[k])) continue;
+        circle_three(p[i], p[j], p[k], out3);
+      }
+    }
+  }
+}
+
+// voxel (x, y) -> world (x, y): p * cell_size + lower (lower-corner
+// convention, reference voxelCoordToWorldCoord, cpp:1720-1730)
+static void map_world(const std::vector<PD>& v, double sx, double sy,
+                      double ox, double oy, std::vector<PD>& w) {
+  w.resize(v.size());
+  for (size_t i = 0; i < v.size(); ++i)
+    w[i] = PD{v[i].x * sx + ox, v[i].y * sy + oy};
+}
+
+// 16 doubles: voxel (rect5, circle3) then world (rect5, circle3)
+static void fit_shapes16(const std::vector<PD>& hull_v, double sx, double sy,
+                         double ox, double oy, double* out16) {
+  fit_rect(hull_v, out16);
+  fit_circle(hull_v, out16 + 5);
+  std::vector<PD> hull_w;
+  map_world(hull_v, sx, sy, ox, oy, hull_w);
+  fit_rect(hull_w, out16 + 8);
+  fit_circle(hull_w, out16 + 13);
+}
+
+// Moore contour trace (Jacob's criterion) of {labels == l} on one layer.
+static void trace_label_contour(const uint16_t* lab, int32_t h, int32_t w,
+                                uint16_t l, int32_t sy, int32_t sx,
+                                std::vector<int32_t>& out_xy) {
+  auto at = [&](int32_t y, int32_t x) {
+    return y >= 0 && y < h && x >= 0 && x < w && lab[(size_t)y * w + x] == l;
+  };
+  out_xy.clear();
+  out_xy.push_back(sx);
+  out_xy.push_back(sy);
+  int32_t cy = sy, cx = sx;
+  int backtrack = 4;
+  int first_move = -1;
+  int64_t steps = 0, limit = 4 * (int64_t)h * w;
+  while (true) {
+    int found = -1;
+    for (int k = 1; k <= 8; ++k) {
+      int d = (backtrack + k) & 7;
+      if (at(cy + MOORE_DY[d], cx + MOORE_DX[d])) {
+        found = d;
+        break;
+      }
+    }
+    if (found < 0) return;  // isolated pixel
+    if (cy == sy && cx == sx) {
+      if (first_move < 0) {
+        first_move = found;
+      } else if (found == first_move && out_xy.size() > 2) {
+        out_xy.pop_back();  // drop the duplicate start re-entry
+        out_xy.pop_back();
+        return;
+      }
+    }
+    cy += MOORE_DY[found];
+    cx += MOORE_DX[found];
+    out_xy.push_back(cx);
+    out_xy.push_back(cy);
+    backtrack = (found + 4) & 7;
+    if (++steps > limit) return;  // safety backstop
+  }
+}
+
+}  // namespace
+
+// Pass 1: sizes for caller allocation. out_sizes[0] = fg pixel count
+// (merged label in [1, M)), out_sizes[1] = number of components
+// (distinct (layer, local-label > 0) with merged > 0).
+void fh_assemble_count(const uint16_t* labels, int32_t Z, int32_t H,
+                       int32_t W, const int32_t* lut, int32_t L, int32_t M,
+                       int64_t* out_sizes) {
+  int64_t hw = (int64_t)H * W;
+  int64_t fg = 0, ncomp = 0;
+#pragma omp parallel for reduction(+ : fg, ncomp)
+  for (int32_t z = 0; z < Z; ++z) {
+    const uint16_t* lz = labels + (size_t)z * hw;
+    const int32_t* lutz = lut + (size_t)z * L;
+    std::vector<uint8_t> seen(L, 0);
+    for (int64_t i = 0; i < hw; ++i) {
+      uint16_t l = lz[i];
+      if (l >= L) continue;
+      int32_t m = lutz[l];
+      if (m <= 0 || m >= M) continue;
+      ++fg;
+      if (l > 0 && !seen[l]) {
+        seen[l] = 1;
+        ++ncomp;
+      }
+    }
+  }
+  out_sizes[0] = fg;
+  out_sizes[1] = ncomp;
+}
+
+// Pass 2: full assembly. Caller allocates per fh_assemble_count sizes:
+//   group_start   int64[M*Z + 1]   pts_xy      int32[2*fg]
+//   hull_start    int64[M*Z + 1]   hull_xy     int32[2*fg]
+//   layer_shapes  double[M*Z*16]
+//   tv_start      int64[M + 1]     tv_xy       int32[2*fg]
+//   tv_hull_start int64[M + 1]     tv_hull_xy  int32[2*fg]
+//   tv_shapes     double[M*16]
+//   comp_zlm      int32[3*ncomp]   contour_start int64[ncomp + 1]
+//   contour_xy    int32[2*contour_cap]          comp_shapes double[16*ncomp]
+// Returns ncomp, or -1 if contour_cap was insufficient.
+int32_t fh_assemble_objects(
+    const uint16_t* labels, int32_t Z, int32_t H, int32_t W,
+    const int32_t* lut, int32_t L, int32_t M, double sx, double sy,
+    double ox, double oy, int64_t* group_start, int32_t* pts_xy,
+    int64_t* hull_start, int32_t* hull_xy, double* layer_shapes,
+    int64_t* tv_start, int32_t* tv_xy, int64_t* tv_hull_start,
+    int32_t* tv_hull_xy, double* tv_shapes, int32_t* comp_zlm,
+    int64_t* contour_start, int32_t* contour_xy, int64_t contour_cap,
+    double* comp_shapes) {
+  const int64_t hw = (int64_t)H * W;
+  const int64_t ng = (int64_t)M * Z;
+
+  // --- count pixels per (m, z) group + first pixel per (z, local) ---
+  std::vector<int64_t> cnt(ng, 0);
+  std::vector<int64_t> first_pix((size_t)Z * L, -1);
+#pragma omp parallel for
+  for (int32_t z = 0; z < Z; ++z) {
+    const uint16_t* lz = labels + (size_t)z * hw;
+    const int32_t* lutz = lut + (size_t)z * L;
+    for (int64_t i = 0; i < hw; ++i) {
+      uint16_t l = lz[i];
+      if (l >= L) continue;
+      int32_t m = lutz[l];
+      if (m <= 0 || m >= M) continue;
+      cnt[(size_t)m * Z + z]++;
+      if (l > 0 && first_pix[(size_t)z * L + l] < 0)
+        first_pix[(size_t)z * L + l] = i;
+    }
+  }
+  group_start[0] = 0;
+  for (int64_t g = 0; g < ng; ++g) group_start[g + 1] = group_start[g] + cnt[g];
+
+  // --- scatter grouped (x, y) in raster order per group ---
+  std::vector<int64_t> cur(group_start, group_start + ng);
+#pragma omp parallel for
+  for (int32_t z = 0; z < Z; ++z) {
+    const uint16_t* lz = labels + (size_t)z * hw;
+    const int32_t* lutz = lut + (size_t)z * L;
+    for (int64_t i = 0; i < hw; ++i) {
+      uint16_t l = lz[i];
+      if (l >= L) continue;
+      int32_t m = lutz[l];
+      if (m <= 0 || m >= M) continue;
+      int64_t dst = cur[(size_t)m * Z + z]++;
+      pts_xy[2 * dst] = (int32_t)(i % W);
+      pts_xy[2 * dst + 1] = (int32_t)(i / W);
+    }
+  }
+
+  // --- per-(m, z) hull + shapes ---
+  std::vector<std::vector<PD>> hulls(ng);
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t g = 0; g < ng; ++g) {
+    std::fill(layer_shapes + 16 * g, layer_shapes + 16 * (g + 1), 0.0);
+    if (!cnt[g]) continue;
+    std::vector<PD> p((size_t)cnt[g]);
+    for (int64_t i = 0; i < cnt[g]; ++i)
+      p[i] = PD{(double)pts_xy[2 * (group_start[g] + i)],
+                (double)pts_xy[2 * (group_start[g] + i) + 1]};
+    std::sort(p.begin(), p.end(), [](const PD& a, const PD& b) {
+      return a.x != b.x ? a.x < b.x : a.y < b.y;
+    });
+    hull_chain(p, hulls[g]);
+    fit_shapes16(hulls[g], sx, sy, ox, oy, layer_shapes + 16 * g);
+  }
+  hull_start[0] = 0;
+  for (int64_t g = 0; g < ng; ++g)
+    hull_start[g + 1] = hull_start[g] + (int64_t)hulls[g].size();
+  for (int64_t g = 0; g < ng; ++g)
+    for (size_t i = 0; i < hulls[g].size(); ++i) {
+      hull_xy[2 * (hull_start[g] + i)] = (int32_t)hulls[g][i].x;
+      hull_xy[2 * (hull_start[g] + i) + 1] = (int32_t)hulls[g][i].y;
+    }
+
+  // --- topview per m: unique (x, y) over all layers, lex-sorted ---
+  std::vector<std::vector<PD>> tv(M), tv_hull(M);
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t m = 1; m < M; ++m) {
+    std::fill(tv_shapes + 16 * m, tv_shapes + 16 * (m + 1), 0.0);
+    std::vector<PD> all;
+    for (int32_t z = 0; z < Z; ++z) {
+      int64_t g = (int64_t)m * Z + z;
+      for (int64_t i = group_start[g]; i < group_start[g + 1]; ++i)
+        all.push_back(PD{(double)pts_xy[2 * i], (double)pts_xy[2 * i + 1]});
+    }
+    if (all.empty()) continue;
+    std::sort(all.begin(), all.end(), [](const PD& a, const PD& b) {
+      return a.x != b.x ? a.x < b.x : a.y < b.y;
+    });
+    all.erase(std::unique(all.begin(), all.end(),
+                          [](const PD& a, const PD& b) {
+                            return a.x == b.x && a.y == b.y;
+                          }),
+              all.end());
+    tv[m] = std::move(all);
+    hull_chain(tv[m], tv_hull[m]);
+    fit_shapes16(tv_hull[m], sx, sy, ox, oy, tv_shapes + 16 * m);
+  }
+  std::fill(tv_shapes, tv_shapes + 16, 0.0);  // background stub
+  tv_start[0] = tv_hull_start[0] = 0;
+  for (int32_t m = 0; m < M; ++m) {
+    tv_start[m + 1] = tv_start[m] + (int64_t)tv[m].size();
+    tv_hull_start[m + 1] = tv_hull_start[m] + (int64_t)tv_hull[m].size();
+  }
+  for (int32_t m = 0; m < M; ++m) {
+    for (size_t i = 0; i < tv[m].size(); ++i) {
+      tv_xy[2 * (tv_start[m] + i)] = (int32_t)tv[m][i].x;
+      tv_xy[2 * (tv_start[m] + i) + 1] = (int32_t)tv[m][i].y;
+    }
+    for (size_t i = 0; i < tv_hull[m].size(); ++i) {
+      tv_hull_xy[2 * (tv_hull_start[m] + i)] = (int32_t)tv_hull[m][i].x;
+      tv_hull_xy[2 * (tv_hull_start[m] + i) + 1] = (int32_t)tv_hull[m][i].y;
+    }
+  }
+
+  // --- components: (z, local) ascending; Moore contour + shapes ---
+  std::vector<int32_t> comp_z, comp_l, comp_m;
+  for (int32_t z = 0; z < Z; ++z)
+    for (int32_t l = 1; l < L; ++l) {
+      int64_t fp = first_pix[(size_t)z * L + l];
+      if (fp < 0) continue;
+      comp_z.push_back(z);
+      comp_l.push_back(l);
+      comp_m.push_back(lut[(size_t)z * L + l]);
+    }
+  int32_t nc = (int32_t)comp_z.size();
+  std::vector<std::vector<int32_t>> contours(nc);
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t c = 0; c < nc; ++c) {
+    int32_t z = comp_z[c], l = comp_l[c];
+    int64_t fp = first_pix[(size_t)z * L + l];
+    trace_label_contour(labels + (size_t)z * hw, H, W, (uint16_t)l,
+                        (int32_t)(fp / W), (int32_t)(fp % W), contours[c]);
+    std::vector<PD> cp(contours[c].size() / 2);
+    for (size_t i = 0; i < cp.size(); ++i)
+      cp[i] = PD{(double)contours[c][2 * i], (double)contours[c][2 * i + 1]};
+    std::sort(cp.begin(), cp.end(), [](const PD& a, const PD& b) {
+      return a.x != b.x ? a.x < b.x : a.y < b.y;
+    });
+    cp.erase(std::unique(cp.begin(), cp.end(),
+                         [](const PD& a, const PD& b) {
+                           return a.x == b.x && a.y == b.y;
+                         }),
+             cp.end());
+    std::vector<PD> ch;
+    hull_chain(cp, ch);
+    fit_shapes16(ch, sx, sy, ox, oy, comp_shapes + 16 * c);
+  }
+  contour_start[0] = 0;
+  for (int32_t c = 0; c < nc; ++c) {
+    contour_start[c + 1] = contour_start[c] + (int64_t)contours[c].size() / 2;
+    comp_zlm[3 * c] = comp_z[c];
+    comp_zlm[3 * c + 1] = comp_l[c];
+    comp_zlm[3 * c + 2] = comp_m[c];
+  }
+  if (contour_start[nc] > contour_cap) return -1;
+  for (int32_t c = 0; c < nc; ++c)
+    std::memcpy(contour_xy + 2 * contour_start[c], contours[c].data(),
+                contours[c].size() * sizeof(int32_t));
+  return nc;
 }
 
 // ---------------------------------------------------------------------------

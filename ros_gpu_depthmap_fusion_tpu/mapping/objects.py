@@ -141,6 +141,13 @@ def build_objects(labels: np.ndarray,
             (the reference does; it is then skipped by tracking). Default
             False keeps index 0 as a stats-only stub to save host time.
     """
+    if with_contours and not background_full:
+        res = native.assemble_objects(labels, merged_of_label, num_merged,
+                                      grid.cell_size[:2], grid.lower[:2])
+        if res is not None:
+            return _assemble_from_native(res, num_merged, voxel_count,
+                                         centroid, vmin, vmax, grid)
+
     z_layers, h, w = labels.shape
     objects: List[CCObject] = []
     merged_map = np.take(merged_of_label.reshape(-1),
@@ -197,6 +204,108 @@ def build_objects(labels: np.ndarray,
                 topview = ObjectLayer(
                     layer=-1, points2d_voxel=tv, points2d_world=tv_w,
                     shapes=shape_pair(tv, grid))
+
+        center_vox = (mn + mx) / 2.0
+        objects.append(CCObject(
+            label=m,
+            centroid=(float(cen[0]), float(cen[1])),
+            num_components=len(components),
+            num_layers=len(layer_objs),
+            center_coord_voxel=center_vox,
+            center_coord_world=_voxel_xyz_to_world(grid, center_vox),
+            min_coord_voxel=mn, max_coord_voxel=mx,
+            min_coord_world=_voxel_xyz_to_world(grid, mn),
+            max_coord_world=_voxel_xyz_to_world(grid, mx),
+            aabb_size_voxel=mx - mn,
+            aabb_size_world=_voxel_xyz_to_world(grid, mx)
+            - _voxel_xyz_to_world(grid, mn),
+            components=components, layers=layer_objs, topview=topview))
+    return objects
+
+
+def _shapes_from16(row: np.ndarray) -> ShapePair:
+    """Decode one fh_assemble_objects shape record: 16 doubles =
+    voxel (rect cx,cy,w,h,angle; circle cx,cy,r) then world (same 8)."""
+    vox = MinShapes(
+        geo.RotatedRect((float(row[0]), float(row[1])),
+                        (float(row[2]), float(row[3])), float(row[4])),
+        geo.EnclosingCircle((float(row[5]), float(row[6])), float(row[7])))
+    wrl = MinShapes(
+        geo.RotatedRect((float(row[8]), float(row[9])),
+                        (float(row[10]), float(row[11])), float(row[12])),
+        geo.EnclosingCircle((float(row[13]), float(row[14])),
+                            float(row[15])))
+    return ShapePair(world=wrl, voxel=vox)
+
+
+def _assemble_from_native(res: dict, num_merged: int,
+                          voxel_count: np.ndarray, centroid: np.ndarray,
+                          vmin: np.ndarray, vmax: np.ndarray,
+                          grid: VoxelGrid) -> List[CCObject]:
+    """Build the CCObject list from the flat arrays the native
+    ``fh_assemble_objects`` call produced (grouping, hulls, shapes and
+    contours all computed in C++; this wraps them in dataclasses)."""
+    z_layers = res["num_layers"]
+    gs = res["group_start"]
+    pts = res["pts_xy"]
+    lsh = res["layer_shapes"]
+    tvs = res["tv_start"]
+    tvp = res["tv_xy"]
+    tsh = res["tv_shapes"]
+    comp_zlm = res["comp_zlm"]
+    cst = res["contour_start"]
+    cxy = res["contour_xy"]
+    csh = res["comp_shapes"]
+    z_world = (np.arange(z_layers) * grid.cell_size[2] + grid.lower[2])
+
+    # pre-bucket component rows per merged label (keeps (z, local) order)
+    comp_rows_of: List[List[int]] = [[] for _ in range(num_merged)]
+    for ci in range(len(comp_zlm)):
+        m = int(comp_zlm[ci, 2])
+        if 0 <= m < num_merged:
+            comp_rows_of[m].append(ci)
+
+    objects: List[CCObject] = []
+    for m in range(num_merged):
+        cen = centroid[m] if m < len(centroid) else np.zeros(3)
+        mn = vmin[m].astype(np.int64) if m < len(vmin) else np.zeros(3, int)
+        mx = vmax[m].astype(np.int64) if m < len(vmax) else np.zeros(3, int)
+
+        components: List[ObjectComponent] = []
+        layer_objs: List[ObjectLayer] = []
+        topview = None
+        if m > 0:
+            for z in range(z_layers):
+                g = m * z_layers + z
+                lo, hi = int(gs[g]), int(gs[g + 1])
+                if hi == lo:
+                    continue
+                pts2d = pts[lo:hi]
+                layer_objs.append(ObjectLayer(
+                    layer=z, points2d_voxel=pts2d,
+                    points2d_world=_voxel_xy_to_world(grid, pts2d),
+                    shapes=_shapes_from16(lsh[g])))
+            for ci in comp_rows_of[m]:
+                z = int(comp_zlm[ci, 0])
+                contour = cxy[int(cst[ci]):int(cst[ci + 1])]
+                contour_w = _voxel_xy_to_world(grid, contour)
+                k = len(contour)
+                c3v = np.concatenate(
+                    [contour, np.full((k, 1), z)], axis=-1)
+                c3w = np.concatenate(
+                    [contour_w, np.full((k, 1), z_world[z])], axis=-1)
+                components.append(ObjectComponent(
+                    layer=z, local_label=int(comp_zlm[ci, 1]),
+                    contour2d_voxel=contour, contour2d_world=contour_w,
+                    contour3d_voxel=c3v, contour3d_world=c3w,
+                    shapes=_shapes_from16(csh[ci])))
+            lo, hi = int(tvs[m]), int(tvs[m + 1])
+            if hi > lo:
+                tv = tvp[lo:hi]
+                topview = ObjectLayer(
+                    layer=-1, points2d_voxel=tv,
+                    points2d_world=_voxel_xy_to_world(grid, tv),
+                    shapes=_shapes_from16(tsh[m]))
 
         center_vox = (mn + mx) / 2.0
         objects.append(CCObject(

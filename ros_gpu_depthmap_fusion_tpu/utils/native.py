@@ -62,6 +62,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fh_trace_contour.restype = i64
     lib.fh_stage_points_xyz.argtypes = [f32p, i64, i64, f32p, i64]
     lib.fh_stage_points_xyz.restype = i64
+    f64 = ctypes.c_double
+    lib.fh_assemble_count.argtypes = [u16p, i32, i32, i32, i32p, i32, i32,
+                                      i64p]
+    lib.fh_assemble_objects.argtypes = [
+        u16p, i32, i32, i32, i32p, i32, i32, f64, f64, f64, f64,
+        i64p, i32p,          # group_start, pts_xy
+        i64p, i32p, f64p,    # hull_start, hull_xy, layer_shapes
+        i64p, i32p,          # tv_start, tv_xy
+        i64p, i32p, f64p,    # tv_hull_start, tv_hull_xy, tv_shapes
+        i32p, i64p, i32p, i64, f64p]  # comps, contours, cap, comp_shapes
+    lib.fh_assemble_objects.restype = i32
     _lib = lib
     return _lib
 
@@ -185,6 +196,69 @@ def trace_contour(mask: np.ndarray, sy: int, sx: int) -> np.ndarray:
         return out[:2 * n].reshape(-1, 2)
     from ros_gpu_depthmap_fusion_tpu.mapping.geometry import _trace_from
     return _trace_from(m.astype(bool), sy, sx)
+
+
+def assemble_objects(labels: np.ndarray, merged_of_label: np.ndarray,
+                     num_merged: int, cell_size_xy, lower_xy):
+    """Native per-frame object assembly (fh_assemble_objects): groups the
+    segmentation's labeled voxels by (merged object, layer), computes convex
+    hulls, min-area rects and min enclosing circles in voxel AND world xy
+    coordinates, per-object topviews, and per-component Moore contours.
+
+    Returns a dict of flat arrays (see keys below), or ``None`` when the
+    native library is unavailable (caller falls back to the Python path).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    lab = np.ascontiguousarray(labels, np.uint16)
+    z, h, w = lab.shape
+    lut = np.ascontiguousarray(merged_of_label, np.int32)
+    L = lut.shape[1]
+    M = int(num_merged)
+    if M <= 0:
+        M = 1
+    sizes = np.zeros(2, np.int64)
+    lib.fh_assemble_count(lab.reshape(-1), z, h, w, lut.reshape(-1), L, M,
+                          sizes)
+    fg, ncomp = int(sizes[0]), int(sizes[1])
+    ng = M * z
+    group_start = np.zeros(ng + 1, np.int64)
+    pts_xy = np.zeros(max(2 * fg, 2), np.int32)
+    hull_start = np.zeros(ng + 1, np.int64)
+    hull_xy = np.zeros(max(2 * fg, 2), np.int32)
+    layer_shapes = np.zeros(16 * ng, np.float64)
+    tv_start = np.zeros(M + 1, np.int64)
+    tv_xy = np.zeros(max(2 * fg, 2), np.int32)
+    tv_hull_start = np.zeros(M + 1, np.int64)
+    tv_hull_xy = np.zeros(max(2 * fg, 2), np.int32)
+    tv_shapes = np.zeros(16 * M, np.float64)
+    comp_zlm = np.zeros(max(3 * ncomp, 3), np.int32)
+    contour_start = np.zeros(ncomp + 1, np.int64)
+    contour_cap = 4 * fg + 16 * ncomp + 64
+    contour_xy = np.zeros(2 * contour_cap, np.int32)
+    comp_shapes = np.zeros(max(16 * ncomp, 16), np.float64)
+    nc = int(lib.fh_assemble_objects(
+        lab.reshape(-1), z, h, w, lut.reshape(-1), L, M,
+        float(cell_size_xy[0]), float(cell_size_xy[1]),
+        float(lower_xy[0]), float(lower_xy[1]),
+        group_start, pts_xy, hull_start, hull_xy, layer_shapes,
+        tv_start, tv_xy, tv_hull_start, tv_hull_xy, tv_shapes,
+        comp_zlm, contour_start, contour_xy, contour_cap, comp_shapes))
+    if nc < 0:
+        return None
+    return dict(
+        num_merged=M, num_layers=z,
+        group_start=group_start, pts_xy=pts_xy.reshape(-1, 2),
+        hull_start=hull_start, hull_xy=hull_xy.reshape(-1, 2),
+        layer_shapes=layer_shapes.reshape(ng, 16),
+        tv_start=tv_start, tv_xy=tv_xy.reshape(-1, 2),
+        tv_hull_start=tv_hull_start, tv_hull_xy=tv_hull_xy.reshape(-1, 2),
+        tv_shapes=tv_shapes.reshape(M, 16),
+        comp_zlm=comp_zlm.reshape(-1, 3)[:nc],
+        contour_start=contour_start[:nc + 1],
+        contour_xy=contour_xy.reshape(-1, 2),
+        comp_shapes=comp_shapes.reshape(-1, 16)[:nc])
 
 
 def stage_points_xyz(xyz: np.ndarray, out: np.ndarray) -> int:

@@ -111,3 +111,82 @@ def test_stage_points():
 def test_native_is_available_in_ci():
     # the library builds in this image; make sure the fast path is active
     assert native.available()
+
+
+@requires_native
+def test_assemble_objects_matches_python_path():
+    """The native fh_assemble_objects fast path must reproduce the Python
+    assembly (mapping/objects.py) exactly: same grouping, contours, and
+    hull-determined shapes (rects/circles up to fp tolerance)."""
+    import functools
+    import jax
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+    from ros_gpu_depthmap_fusion_tpu.mapping import objects as O
+    from ros_gpu_depthmap_fusion_tpu.mapping.segmentation import segment
+
+    rng = np.random.default_rng(7)
+    Z, Y, X = 6, 60, 64
+    occ = np.zeros((Z, Y, X), bool)
+    for _ in range(8):
+        x0, y0 = rng.integers(0, X - 14), rng.integers(0, Y - 14)
+        w, h = rng.integers(2, 12, 2)
+        z0 = rng.integers(0, Z - 2)
+        occ[z0:z0 + int(rng.integers(1, 3)), y0:y0 + h, x0:x0 + w] = True
+    yy, xx = np.mgrid[-6:7, -6:7]
+    occ[2:4, 20:33, 30:43] |= (yy ** 2 / 30 + xx ** 2 / 12) < 1
+
+    seg = jax.jit(functools.partial(segment, max_labels=64,
+                                    max_objects=32))(occ.astype(np.uint8))
+    cfg = FusionConfig(voxel_min=(-3, -3, 0), voxel_max=(3.4, 3, 1.2),
+                       voxel_size=(0.1, 0.1, 0.2))
+    grid = VoxelGrid.from_config(cfg)
+    args = dict(labels=np.asarray(seg.labels),
+                num_labels=np.asarray(seg.num_labels),
+                merged_of_label=np.asarray(seg.merged_of_label),
+                num_merged=int(seg.num_merged),
+                voxel_count=np.asarray(seg.voxel_count),
+                centroid=np.asarray(seg.centroid),
+                vmin=np.asarray(seg.vmin), vmax=np.asarray(seg.vmax),
+                grid=grid)
+
+    native_objs = O.build_objects(**args)
+    orig = native.assemble_objects
+    native.assemble_objects = lambda *a, **k: None  # force Python path
+    try:
+        py_objs = O.build_objects(**args)
+    finally:
+        native.assemble_objects = orig
+
+    assert len(native_objs) == len(py_objs) == int(seg.num_merged)
+    for oa, ob in zip(py_objs, native_objs):
+        assert oa.num_components == ob.num_components
+        assert oa.num_layers == ob.num_layers
+        np.testing.assert_array_equal(oa.min_coord_voxel, ob.min_coord_voxel)
+        for la, lb in zip(oa.layers, ob.layers):
+            assert la.layer == lb.layer
+            np.testing.assert_array_equal(
+                np.sort(la.points2d_voxel, axis=0),
+                np.sort(lb.points2d_voxel, axis=0))
+            for fr in ("world", "voxel"):
+                sa, sb = getattr(la.shapes, fr), getattr(lb.shapes, fr)
+                assert abs(sa.box.area() - sb.box.area()) < 1e-9
+                np.testing.assert_allclose(sa.box.center, sb.box.center,
+                                           atol=1e-9)
+                np.testing.assert_allclose(sa.circle.radius,
+                                           sb.circle.radius, atol=1e-7)
+        for ca, cb in zip(oa.components, ob.components):
+            assert (ca.layer, ca.local_label) == (cb.layer, cb.local_label)
+            np.testing.assert_array_equal(ca.contour2d_voxel,
+                                          cb.contour2d_voxel)
+            np.testing.assert_allclose(ca.contour2d_world,
+                                       cb.contour2d_world, atol=1e-12)
+            assert abs(ca.shapes.world.box.area()
+                       - cb.shapes.world.box.area()) < 1e-9
+        if oa.topview is not None:
+            assert ob.topview is not None
+            np.testing.assert_array_equal(oa.topview.points2d_voxel,
+                                          ob.topview.points2d_voxel)
+            np.testing.assert_allclose(
+                oa.topview.shapes.world.box.center,
+                ob.topview.shapes.world.box.center, atol=1e-9)
