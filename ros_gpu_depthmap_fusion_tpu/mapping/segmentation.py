@@ -48,20 +48,67 @@ def _shift_with_fill(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
     return jnp.where(valid, out, fill)
 
 
+def _shift_along(a: jnp.ndarray, s: int, axis: int, fill) -> jnp.ndarray:
+    """Shift so position i sees value from i+s (s may be negative);
+    vacated positions get ``fill``."""
+    out = jnp.roll(a, -s, axis=axis)
+    n = a.shape[axis]
+    pos = jnp.arange(n)
+    valid = (pos + s >= 0) & (pos + s < n)
+    shape = [1] * a.ndim
+    shape[axis] = n
+    return jnp.where(valid.reshape(shape), out, fill)
+
+
+def _segmented_min_scan(lab: jnp.ndarray, occ: jnp.ndarray, big,
+                        axis: int) -> jnp.ndarray:
+    """Min of ``lab`` over each maximal run of consecutive occupied pixels
+    along ``axis``. Implemented as unrolled doubling (log2(n) rounds of
+    shift+min, no gathers, no scan primitives — compiles fast and lowers
+    to fused elementwise passes): after round k, ``m_i`` holds the min over
+    the run cells in [i, i+2^k) clipped at the first gap, and ``c_i`` says
+    whether [i, i+2^k) is gap-free. Forward + backward = whole-run min.
+    Lets a label cross an entire straight run in ONE propagation step."""
+    n = lab.shape[axis]
+    val = jnp.where(occ, lab, big)
+
+    def one_direction(sign):
+        m, c = val, occ
+        s = 1
+        while s < n:
+            ms = _shift_along(m, sign * s, axis, big)
+            cs = _shift_along(c, sign * s, axis, False)
+            m = jnp.minimum(m, jnp.where(c, ms, big))
+            c = c & cs
+            s *= 2
+        return m
+
+    return jnp.minimum(one_direction(1), one_direction(-1))
+
+
 def _cc_label_one_layer(occ: jnp.ndarray) -> jnp.ndarray:
     """8-connected components of a [Y, X] bool mask. Returns per-pixel root
-    flat index (int32) for occupied pixels, and N (=Y*X) for background."""
+    flat index (int32) for occupied pixels, and N (=Y*X) for background.
+
+    Per iteration: segmented min-scans along rows and columns (whole runs
+    converge at once), one 8-neighborhood min (diagonal/corner hops), and
+    two pointer jumps (chain collapse). Real-world layers converge in a
+    handful of iterations; the ``while_loop`` guards arbitrary shapes."""
     y, x = occ.shape
     n = y * x
     idx = jnp.arange(n, dtype=jnp.int32).reshape(y, x)
     lab0 = jnp.where(occ, idx, n)
+    big = jnp.int32(n)
 
     def propagate(lab):
-        best = lab
-        for dy, dx in _NEIGHBORS8:
-            sh = _shift_with_fill(lab, dy, dx, n)
-            best = jnp.minimum(best, jnp.where(occ, sh, n))
+        best = jnp.minimum(lab, _segmented_min_scan(lab, occ, big, axis=1))
+        best = jnp.minimum(best, _segmented_min_scan(best, occ, big, axis=0))
         best = jnp.where(occ, best, n)
+        for dy, dx in _NEIGHBORS8:
+            sh = _shift_with_fill(best, dy, dx, n)
+            # mask destinations: labels only ever live on occupied cells,
+            # so chained shifts cannot bridge across background
+            best = jnp.where(occ, jnp.minimum(best, sh), n)
         # pointer jumping: follow the candidate root's own label twice
         flat = best.ravel()
         for _ in range(2):
