@@ -94,15 +94,21 @@ def main():
                                tf_move=np.eye(4, dtype=np.float32))
         return eng.process(10.0 + f / 30.0)
 
-    # warmup/compile
+    # warmup/compile. NOTE: under the axon plugin block_until_ready can
+    # return before queued work (including compilation) finishes, so a
+    # host materialization is the only trustworthy sync — without it the
+    # measured "fps" is dispatch rate, not completed-frame throughput.
     out = run_frame(0)
-    jax.block_until_ready(out.fused_count)
-    # timed
+    _ = int(np.asarray(out.fused_count))
+    out = run_frame(0)
+    _ = int(np.asarray(out.fused_count))
+    # timed: async frames pipeline through the link; the hard drain at the
+    # end is INSIDE the window so only fully completed work is counted
     iters = 30
     t0 = time.time()
     for f in range(1, iters + 1):
         out = run_frame(f)
-    jax.block_until_ready(out.fused_count)
+    _ = int(np.asarray(out.fused_count))
     dt = (time.time() - t0) / iters
     fps = 1.0 / dt
     print(json.dumps({

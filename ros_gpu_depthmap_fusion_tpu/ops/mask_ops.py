@@ -3,18 +3,68 @@
 - :func:`crop_points` — ``shader/crop_points.glsl:47-66``: AABB test in the
   crop frame, ANDed into the validity mask.
 - :func:`compact` — replaces ``shader/apply_point_mask.glsl``'s atomic-counter
-  compaction (glsl:50-54, output order nondeterministic) with the
-  deterministic, *stable* TPU idiom: ``mask -> exclusive cumsum -> scatter``.
-  Valid points keep their input order; the valid count replaces the
-  reference's scratchpad readback (gpu_depthmap_fusion.cpp:1675-1677) and
-  stays on device.
+  compaction (glsl:50-54, output order nondeterministic) with a
+  deterministic, *stable* TPU idiom: one ``lax.sort`` on the inverted mask
+  carrying the payload columns. Valid points keep their input order; the
+  valid count replaces the reference's scratchpad readback
+  (gpu_depthmap_fusion.cpp:1675-1677) and stays on device.
+
+  Why sort instead of ``cumsum -> scatter``: XLA:TPU lowers large scatters
+  with dynamic indices to a serialized loop (~145 ms for 2.5M x 4 f32 on
+  v5e), while its bitonic ``lax.sort`` is fully vectorized (~8 ms for 2.5M
+  pairs). A stable sort on key ``!mask`` IS stream compaction.
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+
+
+def _sort_compact(arrays, mask: jnp.ndarray, capacity: int, fills):
+    """Shared core: stable-sort all payload columns by ``!mask`` so valid
+    rows land first in original order; slice/pad to ``capacity`` and blank
+    rows beyond the valid count with each array's fill value."""
+    n = mask.shape[0]
+    key = (~mask).astype(jnp.uint8)
+    cols = []
+    specs = []
+    for a in arrays:
+        flat = a.reshape(n, -1)
+        ncol = flat.shape[1]
+        bool_in = a.dtype == jnp.bool_
+        specs.append((ncol, a.shape[1:], bool_in))
+        for j in range(ncol):
+            col = flat[:, j]
+            cols.append(col.astype(jnp.uint8) if bool_in else col)
+    sorted_all = jax.lax.sort((key, *cols), num_keys=1, is_stable=True)
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)),
+                        jnp.int32(capacity))
+    live = jnp.arange(capacity, dtype=jnp.int32) < count
+    outs = []
+    pos = 1
+    for (ncol, tail_shape, bool_in), a, fill in zip(specs, arrays, fills):
+        out_cols = []
+        for j in range(ncol):
+            col = sorted_all[pos + j]
+            if capacity <= n:
+                col = col[:capacity]
+            else:
+                col = jnp.pad(col, (0, capacity - n))
+            out_cols.append(col)
+        pos += ncol
+        if tail_shape:
+            out = jnp.stack(out_cols, axis=-1).reshape(
+                (capacity,) + tail_shape)
+        else:
+            out = out_cols[0]
+        if bool_in:
+            out = out.astype(jnp.bool_)
+        live_b = live.reshape((capacity,) + (1,) * len(tail_shape))
+        outs.append(jnp.where(live_b, out, jnp.asarray(fill, a.dtype)))
+    return tuple(outs), count
 
 
 def crop_points(points: jnp.ndarray,
@@ -51,31 +101,14 @@ def compact(values: jnp.ndarray,
         (out ``[capacity, ...]``, count scalar int32). Rows ``[0, count)``
         hold the valid inputs in their original order.
     """
-    n = values.shape[0]
-    mask_i = mask.astype(jnp.int32)
-    # exclusive prefix sum = output slot per valid element
-    slots = jnp.cumsum(mask_i) - mask_i
-    count = jnp.minimum(jnp.sum(mask_i), capacity)
-    # invalid elements are routed out of bounds and dropped by the scatter
-    target = jnp.where(mask, slots, capacity)
-    out_shape = (capacity,) + values.shape[1:]
-    out = jnp.full(out_shape, fill_value, dtype=values.dtype)
-    out = out.at[target].set(values, mode="drop")
+    (out,), count = _sort_compact((values,), mask, capacity, (fill_value,))
     return out, count
 
 
 def compact_multi(arrays, mask: jnp.ndarray, capacity: int):
-    """Compact several parallel arrays with one shared mask/slot computation.
+    """Compact several parallel arrays with one shared sort.
 
     Returns (tuple of compacted arrays, count).
     """
-    n = mask.shape[0]
-    mask_i = mask.astype(jnp.int32)
-    slots = jnp.cumsum(mask_i) - mask_i
-    count = jnp.minimum(jnp.sum(mask_i), capacity)
-    target = jnp.where(mask, slots, capacity)
-    outs = []
-    for a in arrays:
-        out = jnp.zeros((capacity,) + a.shape[1:], dtype=a.dtype)
-        outs.append(out.at[target].set(a, mode="drop"))
-    return tuple(outs), count
+    arrays = tuple(arrays)
+    return _sort_compact(arrays, mask, capacity, (0,) * len(arrays))

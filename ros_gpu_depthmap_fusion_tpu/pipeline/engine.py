@@ -184,20 +184,22 @@ def fusion_step(state: EngineState,
     # -- 10. voxel coords + voxelize --
     cell_ids = grid.cell_index_clamped(raw_points[:, :3])
     live = jnp.arange(total_cap, dtype=jnp.int32) < raw_count
+    fresh = None
     if cfg.enable_voxel_filter:
         if cfg.voxel_enable_average:
-            fused_points, fused_count = voxelize_average(
-                raw_points, cell_ids, live, grid, output_capacity)
+            fused_points, fused_count, fresh = voxelize_average(
+                raw_points, cell_ids, live, grid, output_capacity,
+                return_occupancy=True)
         else:
-            fresh_for_centers = scatter_occupancy(
-                cell_ids, live, grid.num_cells)
+            fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
             fused_points, fused_count = voxelize_occupied(
-                fresh_for_centers, grid, output_capacity)
+                fresh, grid, output_capacity)
     else:
         fused_points, fused_count = raw_points, raw_count
 
     # -- 11. occupancy + temporal decay --
-    fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
+    if fresh is None:
+        fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
     historic = update_historic_occupancy(
         state.historic_occupancy, fresh, cfg.voxel_occupancy_lifetime)
     occupancy_u8 = occupancy_to_u8(historic)
@@ -262,13 +264,13 @@ class FusionEngine:
     def clear(self):
         c = self.cfg.num_depth_streams
         h, w = self.cfg.depth_height, self.cfg.depth_width
-        # per-camera device buffers: add_depthmap starts the host->device
-        # transfer immediately (async dispatch), overlapping it with the
-        # previous frame's compute — the transfer is the bottleneck, not
-        # the fused step (0.09 ms device vs ~5 ms for 6.5 MB of depth)
-        self._depth_dev = [None] * c
-        if not hasattr(self, "_zero_depth"):
-            self._zero_depth = jnp.zeros((h, w), jnp.uint16)
+        # depth stages into one pinned host array and ships as ONE transfer
+        # with the rest of the frame inputs: on this link each device_put
+        # pays a fixed round-trip on top of ~70 MB/s bandwidth, so batched
+        # staging beats per-camera transfers (measured)
+        if not hasattr(self, "_depth_host"):
+            self._depth_host = np.zeros((c, h, w), np.uint16)
+        self._depth_filled = [False] * c
         self._intr = np.zeros((c, 4), np.float32)
         self._tf_world = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
         self._tf_crop = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
@@ -281,8 +283,8 @@ class FusionEngine:
     def add_depthmap(self, slot: int, depth_u16: np.ndarray,
                      intrinsics, tf_world: np.ndarray,
                      tf_crop: np.ndarray):
-        self._depth_dev[slot] = jax.device_put(
-            np.ascontiguousarray(depth_u16, np.uint16))
+        np.copyto(self._depth_host[slot], depth_u16, casting="same_kind")
+        self._depth_filled[slot] = True
         self._intr[slot] = np.asarray(
             intrinsics.as_array() if hasattr(intrinsics, "as_array")
             else intrinsics, np.float32)
@@ -331,14 +333,12 @@ class FusionEngine:
             self.cfg.point_sequence_aggregation_timespan)
         min_sec, min_nsec = timeutil.decode(max(min_ns, 0))
         eye = np.eye(4, dtype=np.float32)
-        depth = jnp.stack([
-            d if d is not None else self._zero_depth
-            for d in self._depth_dev])
-        # one batched transfer for everything except the (already in-flight)
-        # per-camera depth buffers: each separate device_put pays a host
-        # round-trip, which dominates at these sizes
+        for slot, filled in enumerate(self._depth_filled):
+            if not filled:
+                self._depth_host[slot] = 0
+        # ONE batched transfer for the whole frame (depth included)
         small_host = FrameInputs(
-            depth=None,
+            depth=self._depth_host,
             intrinsics=self._intr,
             tf_world=self._tf_world,
             tf_crop=self._tf_crop,
@@ -352,7 +352,7 @@ class FusionEngine:
             roll_min_sec=np.int32(min_sec),
             roll_min_nsec=np.int32(min_nsec),
         )
-        inp = jax.device_put(small_host)._replace(depth=depth)
+        inp = jax.device_put(small_host)
         self.state, out = self.step(self.state, inp)
         # reset per-frame staging (reference clear(), cpp:725-732 — keeps
         # the rollbuffer, drops per-frame inputs)
