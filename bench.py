@@ -63,6 +63,7 @@ def main():
         voxel_occupancy_lifetime=10,
         rollbuffer_point_capacity=131072,
         max_points_per_sequence=4096,
+        emit_raw_points=False,  # publish-parity: only the voxelized cloud
     )
     eng = FusionEngine(cfg)
     intr = PinholeIntrinsics.default_for(W, H)

@@ -736,6 +736,154 @@ int32_t fh_assemble_objects(
 }
 
 // ---------------------------------------------------------------------------
+// Depth-link codec (encoder half; the decoder is a vectorized XLA program,
+// ops/depth_codec.py). Lossless masked row-DPCM for u16 depth maps:
+//
+//  - holes (depth == 0) go to a 1-bit mask plane and contribute delta 0;
+//  - each row's first VALID pixel is stored raw (row_first) and gets
+//    delta 0, so DPCM never pays a full-magnitude recovery delta;
+//  - remaining valid pixels store zigzag(d - previous_valid) packed at a
+//    frame-constant bit width B (chosen as the smallest width whose
+//    overflow count fits the exception budget);
+//  - oversized deltas are encoded as 0 in the stream and their true
+//    zigzag value goes to an (index, value) exception list the decoder
+//    scatters back before the row prefix-sum.
+//
+// Rationale: the host->device link is the fusion engine's bottleneck at
+// multi-camera scale; smooth depth compresses to ~3-5 bits/px, and the
+// decoder is pure vectorized bit math + one row cumsum (TPU-friendly,
+// static shapes per B).
+// ---------------------------------------------------------------------------
+
+static inline uint32_t fh_zigzag(int32_t d) {
+  return ((uint32_t)d << 1) ^ (uint32_t)(d >> 31);
+}
+
+static inline int fh_bits_needed(uint32_t v) {
+  int b = 0;
+  while (v) {
+    ++b;
+    v >>= 1;
+  }
+  return b;
+}
+
+// Returns chosen bit width B (0..17; 0 = every delta zero). Caller
+// allocates: zz_tmp u32[C*H*W] scratch, words u32[C*H*ceil(W*17/32)]
+// (worst case; actual rows use stride ceil(W*B/32)), mask_words
+// u32[C*H*ceil(W/32)], row_first u16[C*H], exc_idx u32[max_exc],
+// exc_zz u32[max_exc]. out_meta[0] = exception count, out_meta[1] =
+// words-per-row at the chosen B.
+int32_t fh_depth_encode(const uint16_t* depth, int32_t C, int32_t H,
+                        int32_t W, int32_t max_exc,
+                        const int32_t* allowed_bits, int32_t n_allowed,
+                        uint32_t* zz_tmp, uint32_t* words,
+                        uint32_t* mask_words, uint16_t* row_first,
+                        uint32_t* exc_idx, uint32_t* exc_zz,
+                        int64_t* out_meta) {
+  const int64_t rows = (int64_t)C * H;
+  const int32_t mask_wpr = (W + 31) / 32;
+  // pass 1: per-row DPCM -> zigzag deltas + global width histogram
+  int64_t hist[18] = {0};
+#pragma omp parallel
+  {
+    int64_t lhist[18] = {0};
+#pragma omp for nowait
+    for (int64_t r = 0; r < rows; ++r) {
+      const uint16_t* row = depth + r * W;
+      uint32_t* zrow = zz_tmp + r * W;
+      uint32_t* mrow = mask_words + r * mask_wpr;
+      for (int32_t i = 0; i < mask_wpr; ++i) mrow[i] = 0;
+      int32_t prev = -1;
+      uint16_t first = 0;
+      for (int32_t x = 0; x < W; ++x) {
+        uint16_t d = row[x];
+        uint32_t z = 0;
+        if (d != 0) {
+          mrow[x >> 5] |= 1u << (x & 31);
+          if (prev < 0)
+            first = d;  // delta 0 by construction
+          else
+            z = fh_zigzag((int32_t)d - prev);
+          prev = d;
+        }
+        zrow[x] = z;
+        lhist[fh_bits_needed(z)]++;
+      }
+      row_first[r] = first;
+    }
+#pragma omp critical
+    for (int i = 0; i < 18; ++i) hist[i] += lhist[i];
+  }
+  // choose the smallest B whose overflow count fits the exception budget,
+  // then round up to the caller's allowed widths (the decoder compiles one
+  // variant per width, so widths are bucketed)
+  int32_t B = 17;
+  int64_t over = 0;
+  for (int b = 17; b >= 0; --b) {
+    if (b < 17) over += hist[b + 1];
+    if (over <= max_exc)
+      B = b;
+    else
+      break;
+  }
+  if (n_allowed > 0) {
+    int32_t best = 17;
+    for (int32_t i = 0; i < n_allowed; ++i)
+      if (allowed_bits[i] >= B && allowed_bits[i] < best)
+        best = allowed_bits[i];
+    B = best;
+  }
+  const int32_t wpr = (int32_t)(((int64_t)W * B + 31) / 32);
+  // pass 2: pack B-bit fields (exceptions -> 0 in stream, true value to
+  // the per-thread lists, merged + index-sorted for determinism)
+  std::vector<std::vector<uint64_t>> exc_parts;
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+    const int nth = omp_get_num_threads();
+#else
+    const int tid = 0, nth = 1;
+#endif
+#pragma omp single
+    exc_parts.resize(nth);
+    std::vector<uint64_t>& mine = exc_parts[tid];
+#pragma omp for
+    for (int64_t r = 0; r < rows; ++r) {
+      const uint32_t* zrow = zz_tmp + r * W;
+      uint32_t* wrow = words + r * wpr;
+      for (int32_t i = 0; i < wpr; ++i) wrow[i] = 0;
+      const uint32_t lim = (B == 0) ? 0 : ((1u << B) - 1);
+      for (int32_t x = 0; x < W; ++x) {
+        uint32_t z = zrow[x];
+        if (z > lim) {
+          mine.push_back(((uint64_t)(r * W + x) << 32) | z);
+          z = 0;
+        }
+        if (B == 0) continue;
+        const int64_t bitpos = (int64_t)x * B;
+        const int64_t wi = bitpos >> 5;
+        const int32_t sh = (int32_t)(bitpos & 31);
+        wrow[wi] |= z << sh;
+        if (sh + B > 32) wrow[wi + 1] |= z >> (32 - sh);
+      }
+    }
+  }
+  std::vector<uint64_t> exc;
+  for (auto& p : exc_parts) exc.insert(exc.end(), p.begin(), p.end());
+  std::sort(exc.begin(), exc.end());
+  if ((int64_t)exc.size() > max_exc) return -1;  // cannot happen at B<=17
+  for (size_t i = 0; i < exc.size(); ++i) {
+    exc_idx[i] = (uint32_t)(exc[i] >> 32);
+    exc_zz[i] = (uint32_t)exc[i];
+  }
+  out_meta[0] = (int64_t)exc.size();
+  out_meta[1] = wpr;
+  return B;
+}
+
+// ---------------------------------------------------------------------------
 // point-sequence staging append (reference addPointSequence copy loop,
 // gpu_depthmap_fusion.cpp:747-796): copy xyz (stride float) with w = 1.
 // ---------------------------------------------------------------------------

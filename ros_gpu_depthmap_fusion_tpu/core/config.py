@@ -61,6 +61,24 @@ class FusionConfig:
     voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
     voxel_enable_average: bool = True   # average-mode vs occupied-cell-centers
     voxel_occupancy_lifetime: int = 1   # frames; launch default 10
+    # static cap on emitted voxelized points (= max simultaneously occupied
+    # cells; overflow drops cells and caps the count — explicit policy
+    # where the reference grew buffers silently). 256k cells is ~8% of the
+    # largest deployment grid.
+    voxelize_output_capacity: int = 262144
+
+    # --- host->device depth link ---
+    # "dpcm" (default): lossless masked row-DPCM compression of the depth
+    # upload, decoded on device (ops/depth_codec.py) — the link is the
+    # multi-camera bottleneck. "none": ship raw u16.
+    depth_link_codec: str = "dpcm"
+    depth_codec_max_exceptions: int = 8192
+
+    # also emit the compacted raw (pre-voxelize) cloud every frame. The
+    # reference only builds the cloud it publishes, so pipelines that
+    # consume the voxelized output can turn this off and skip a 2.5M-row
+    # compaction per frame.
+    emit_raw_points: bool = True
 
     # --- segmentation / tracking ---
     object_min_area: float = 0.2 * 0.2  # m^2 in topview

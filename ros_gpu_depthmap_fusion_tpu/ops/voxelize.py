@@ -66,11 +66,12 @@ def voxelize_average(points: jnp.ndarray,
     n = mask.shape[0]
     sentinel = jnp.int32(num_cells)
     key = jnp.where(mask, cell_indices.astype(jnp.int32), sentinel)
-    ks, x, y, z, w = jax.lax.sort(
-        (key, points[:, 0], points[:, 1], points[:, 2], points[:, 3]),
-        num_keys=1)
+    ks, x, y, z = jax.lax.sort(
+        (key, points[:, 0], points[:, 1], points[:, 2]), num_keys=1)
+    # the homogeneous w of valid points is 1 by construction — carry the
+    # count in its column slot instead of summing w
     acc = jnp.stack(
-        [x, y, z, w, jnp.where(ks < sentinel, 1.0, 0.0).astype(points.dtype)],
+        [x, y, z, jnp.where(ks < sentinel, 1.0, 0.0).astype(points.dtype)],
         axis=-1)
     # log-doubling segmented inclusive sums gated on equal keys: after the
     # loop, each run's LAST element holds the run's full column sums
@@ -82,10 +83,17 @@ def voxelize_average(points: jnp.ndarray,
         s *= 2
     is_end = (jnp.concatenate([ks[1:] != ks[:-1], jnp.array([True])])
               & (ks < sentinel))
-    means = acc[:, :4] / jnp.maximum(acc[:, 4:5], 1.0)
-    (out_points,), count = compact_multi((means,), is_end, capacity)
+    means3 = acc[:, :3] / jnp.maximum(acc[:, 3:4], 1.0)
+    (out_means, out_cells), count = compact_multi((means3, ks), is_end,
+                                                  capacity)
+    w_col = (jnp.arange(capacity, dtype=jnp.int32) < count).astype(
+        points.dtype)
+    out_points = jnp.concatenate([out_means, w_col[:, None]], axis=-1)
     if return_occupancy:
-        target = jnp.where(is_end, ks, sentinel)
+        # scatter only the compacted unique cells (<= capacity update
+        # slots), not all N points — scatter cost on TPU scales with the
+        # number of update slots
+        target = jnp.where(w_col > 0, out_cells, sentinel)
         occ = jnp.zeros((num_cells,), jnp.int32)
         occ = occ.at[target].max(1, mode="drop")
         return out_points, count, occ

@@ -41,6 +41,8 @@ import numpy as np
 from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
 from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
 from ros_gpu_depthmap_fusion_tpu.core import timeutil
+from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+    B_BUCKETS, EncodedDepth, decode_depth)
 from ros_gpu_depthmap_fusion_tpu.ops.unproject import unproject_depthmaps
 from ros_gpu_depthmap_fusion_tpu.ops.stencil import (
     filter_flying_pixels, filter_point_sequence)
@@ -107,11 +109,16 @@ def initial_state(cfg: FusionConfig, grid: VoxelGrid) -> EngineState:
 
 def fusion_step(state: EngineState,
                 inp: FrameInputs,
+                depth_bits: Optional[int] = None,
                 *,
                 cfg: FusionConfig,
                 grid: VoxelGrid,
                 output_capacity: int):
-    """One fused frame step (pure; jit over the static cfg/grid closure)."""
+    """One fused frame step (pure; jit over the static cfg/grid closure).
+
+    ``depth_bits`` is the static bit width of the compressed depth link
+    (``inp.depth`` is then an :class:`EncodedDepth`); ``None`` means raw
+    ``[C, H, W]`` u16 depth."""
     c = cfg.num_depth_streams
     h, w = cfg.depth_height, cfg.depth_width
     n_depth = c * h * w
@@ -143,9 +150,13 @@ def fusion_step(state: EngineState,
     seq_world, seq_crop, seq_valid, _ = rbmod.gather_selection(
         rb, sel, inp.tf_world_move, inp.tf_crop_move, sel_cap)
 
-    # -- 6. unproject depth --
+    # -- 6. decode the depth link (if compressed) + unproject --
+    if depth_bits is None:
+        depth_u16 = inp.depth
+    else:
+        depth_u16 = decode_depth(inp.depth, h, w, depth_bits)
     pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
-        inp.depth, inp.intrinsics, inp.tf_world, inp.tf_crop,
+        depth_u16, inp.intrinsics, inp.tf_world, inp.tf_crop,
         cfg.depth_scale)
 
     # -- 7. flying-pixel filter (camera frame) --
@@ -177,18 +188,31 @@ def fusion_step(state: EngineState,
             all_world, all_mask, cfg.radius_min, cfg.radius_max,
             cfg.radius_filter_radius)
 
-    # -- 9. deterministic compaction of world points --
+    # -- 9. deterministic compaction of world points. The reference only
+    #       materializes the cloud it publishes (voxelized when the voxel
+    #       filter is on), so the raw compaction is skippable
+    #       (cfg.emit_raw_points); voxelize sorts by cell id itself and is
+    #       happy with the uncompacted masked array --
     total_cap = n_depth + sel_cap
-    raw_points, raw_count = compact(all_world, all_mask, total_cap)
+    emit_raw = cfg.emit_raw_points or not cfg.enable_voxel_filter
+    if emit_raw:
+        raw_points, raw_count = compact(all_world, all_mask, total_cap)
+        vox_points, vox_mask = raw_points, (
+            jnp.arange(total_cap, dtype=jnp.int32) < raw_count)
+    else:
+        raw_count = jnp.minimum(jnp.sum(all_mask.astype(jnp.int32)),
+                                jnp.int32(total_cap))
+        raw_points = jnp.zeros((1, 4), all_world.dtype)
+        vox_points, vox_mask = all_world, all_mask
 
     # -- 10. voxel coords + voxelize --
-    cell_ids = grid.cell_index_clamped(raw_points[:, :3])
-    live = jnp.arange(total_cap, dtype=jnp.int32) < raw_count
+    cell_ids = grid.cell_index_clamped(vox_points[:, :3])
+    live = vox_mask
     fresh = None
     if cfg.enable_voxel_filter:
         if cfg.voxel_enable_average:
             fused_points, fused_count, fresh = voxelize_average(
-                raw_points, cell_ids, live, grid, output_capacity,
+                vox_points, cell_ids, live, grid, output_capacity,
                 return_occupancy=True)
         else:
             fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
@@ -223,10 +247,12 @@ def build_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
                       donate: bool = True):
     """Jit-compile the per-frame step for a static config/grid."""
     if output_capacity is None:
-        output_capacity = min(grid.num_cells, cfg.total_point_capacity)
+        output_capacity = min(grid.num_cells, cfg.total_point_capacity,
+                              cfg.voxelize_output_capacity)
     step = functools.partial(fusion_step, cfg=cfg, grid=grid,
                              output_capacity=output_capacity)
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   static_argnames=("depth_bits",))
 
 
 # ---------------------------------------------------------------------------
@@ -336,9 +362,19 @@ class FusionEngine:
         for slot, filled in enumerate(self._depth_filled):
             if not filled:
                 self._depth_host[slot] = 0
+        # depth-link codec: compress on host (native, OpenMP), decode on
+        # device inside the fused step — the link moves ~3-5x fewer bytes
+        depth_field, depth_bits = self._depth_host, None
+        if self.cfg.depth_link_codec == "dpcm":
+            encoded = native.depth_encode(
+                self._depth_host, self.cfg.depth_codec_max_exceptions,
+                allowed_bits=B_BUCKETS)
+            if encoded is not None:
+                enc, depth_bits = encoded
+                depth_field = EncodedDepth(**enc)
         # ONE batched transfer for the whole frame (depth included)
         small_host = FrameInputs(
-            depth=self._depth_host,
+            depth=depth_field,
             intrinsics=self._intr,
             tf_world=self._tf_world,
             tf_crop=self._tf_crop,
@@ -353,7 +389,7 @@ class FusionEngine:
             roll_min_nsec=np.int32(min_nsec),
         )
         inp = jax.device_put(small_host)
-        self.state, out = self.step(self.state, inp)
+        self.state, out = self.step(self.state, inp, depth_bits=depth_bits)
         # reset per-frame staging (reference clear(), cpp:725-732 — keeps
         # the rollbuffer, drops per-frame inputs)
         self.clear()

@@ -1,0 +1,128 @@
+"""Depth-link codec: native encoder vs python reference; lossless
+roundtrips through the jitted decoder; engine equivalence codec on/off."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ros_gpu_depthmap_fusion_tpu.ops import depth_codec as DC
+from ros_gpu_depthmap_fusion_tpu.utils import native
+
+
+requires_native = pytest.mark.skipif(not native.available(),
+                                     reason="native library not built")
+
+
+def _to_enc(enc_dict):
+    return DC.EncodedDepth(**{k: jnp.asarray(v) for k, v in
+                              enc_dict.items()})
+
+
+def _roundtrip(depth, **kw):
+    enc, bits = native.depth_encode(depth, **kw)
+    h, w = depth.shape[1], depth.shape[2]
+    dec = np.asarray(DC.decode_depth(_to_enc(enc), h, w, bits))
+    return dec, bits
+
+
+@requires_native
+def test_roundtrip_smooth_with_holes():
+    rng = np.random.default_rng(0)
+    h, w = 120, 212
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    base = 2500 + 200 * np.sin(u / 40.0) + 150 * np.cos(v / 30.0)
+    d = (base + rng.standard_normal((3, h, w))).astype(np.uint16)
+    d[rng.random((3, h, w)) < 0.02] = 0
+    dec, bits = _roundtrip(d)
+    assert bits <= 6  # smooth data must compress
+    np.testing.assert_array_equal(dec, d)
+
+
+@requires_native
+@pytest.mark.parametrize("case", ["random", "zeros", "leading_holes",
+                                  "const", "steps"])
+def test_roundtrip_adversarial(case):
+    rng = np.random.default_rng(1)
+    if case == "random":
+        d = rng.integers(0, 65536, (2, 9, 37), dtype=np.uint16)
+    elif case == "zeros":
+        d = np.zeros((1, 4, 31), np.uint16)
+    elif case == "leading_holes":
+        d = np.array([[[0, 0, 5000, 5003, 0, 4998, 0, 0]]], np.uint16)
+    elif case == "const":
+        d = np.full((1, 3, 40), 1234, np.uint16)
+    else:  # extreme steps exercise the exception path
+        d = np.tile(np.array([100, 65000, 50, 60000], np.uint16), (1, 2, 8))
+    dec, _ = _roundtrip(d)
+    np.testing.assert_array_equal(dec, d)
+
+
+@requires_native
+def test_roundtrip_bucketed_bits():
+    rng = np.random.default_rng(2)
+    d = (3000 + rng.integers(-3, 4, (2, 16, 53))).astype(np.uint16)
+    enc, bits = native.depth_encode(d, allowed_bits=DC.B_BUCKETS)
+    assert bits in DC.B_BUCKETS
+    dec = np.asarray(DC.decode_depth(_to_enc(enc), 16, 53, bits))
+    np.testing.assert_array_equal(dec, d)
+
+
+@requires_native
+def test_native_encoder_matches_reference():
+    rng = np.random.default_rng(3)
+    d = rng.integers(0, 3000, (2, 6, 23), dtype=np.uint16)
+    d[rng.random(d.shape) < 0.15] = 0
+    enc_n, bits_n = native.depth_encode(d)
+    enc_p, bits_p = DC.encode_depth_reference(d)
+    assert bits_n == bits_p
+    np.testing.assert_array_equal(enc_n["words"], enc_p["words"])
+    np.testing.assert_array_equal(enc_n["mask_words"], enc_p["mask_words"])
+    np.testing.assert_array_equal(enc_n["row_first"], enc_p["row_first"])
+    nexc = int(enc_n["exc_count"])
+    assert nexc == len(enc_p["exc_idx"])
+    np.testing.assert_array_equal(enc_n["exc_idx"][:nexc], enc_p["exc_idx"])
+    np.testing.assert_array_equal(enc_n["exc_zz"][:nexc], enc_p["exc_zz"])
+
+
+@requires_native
+def test_engine_equivalence_codec_on_off():
+    """The compressed link must be invisible: identical frame outputs."""
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.pipeline import FusionEngine
+
+    rng = np.random.default_rng(4)
+    base = dict(
+        num_depth_streams=2, depth_height=24, depth_width=32,
+        num_point_sequences=1,
+        crop_min=(-6, -6, -6), crop_max=(6, 6, 6),
+        voxel_min=(-6, -6, -6), voxel_max=(6, 6, 6),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=256, rollbuffer_seq_capacity=8,
+        max_points_per_sequence=64, voxel_occupancy_lifetime=3)
+    intr = PinholeIntrinsics.default_for(32, 24)
+    eye = np.eye(4, dtype=np.float32)
+    depths = []
+    for _ in range(3):
+        d = rng.integers(800, 4000, (24, 32), dtype=np.uint16)
+        d[rng.random((24, 32)) < 0.05] = 0
+        depths.append(d)
+
+    outs = []
+    for codec in ("dpcm", "none"):
+        eng = FusionEngine(FusionConfig(depth_link_codec=codec, **base))
+        for f, d in enumerate(depths):
+            for s in range(2):
+                eng.add_depthmap(s, d, intr, eye, eye)
+            out = eng.process(10.0 + f / 30.0)
+        outs.append(jax.device_get(out))
+    a, b = outs
+    np.testing.assert_array_equal(np.asarray(a.occupancy_u8),
+                                  np.asarray(b.occupancy_u8))
+    np.testing.assert_array_equal(np.asarray(a.raw_points),
+                                  np.asarray(b.raw_points))
+    assert int(a.fused_count) == int(b.fused_count)
+    np.testing.assert_allclose(np.asarray(a.fused_points),
+                               np.asarray(b.fused_points))
