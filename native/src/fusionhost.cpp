@@ -736,6 +736,119 @@ int32_t fh_assemble_objects(
 }
 
 // ---------------------------------------------------------------------------
+// Host segmentation backend: the reference's production path runs per-layer
+// connected components on the CPU (OpenCV, gpu_depthmap_fusion.cpp:1872-2011)
+// and merges labels across layers on the CPU (cpp:2243-2361). This is that
+// path, self-contained: per-layer 8-connected CC (raster-order label
+// numbering, OMP across layers), cross-layer union-find restricted to
+// both-background / both-foreground column pairs (cpp:2303,2332 semantics,
+// run to full fixpoint like mapping/segmentation.py), dense renumbering in
+// ascending order of the smallest global label, and per-object voxel stats.
+// Bit-exact with the device program (tested), ~10 ms at deployment scale.
+// ---------------------------------------------------------------------------
+int32_t fh_segment_grid(const uint8_t* occ, int32_t Z, int32_t H, int32_t W,
+                        int32_t max_labels, int32_t max_objects,
+                        uint16_t* labels, int32_t* num_labels,
+                        int32_t* merged_of_label, int64_t* voxel_count,
+                        double* centroid, int32_t* vmin, int32_t* vmax) {
+  const int64_t hw = (int64_t)H * W;
+  const int32_t L = max_labels;
+// per-layer CC (reuses fh_cc_label_u8; stats not needed here)
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t z = 0; z < Z; ++z) {
+    num_labels[z] = fh_cc_label_u8(occ + (size_t)z * hw,
+                                   labels + (size_t)z * hw, H, W, nullptr,
+                                   nullptr, max_labels);
+  }
+  // cross-layer union-find over global label ids z*L + l
+  const int64_t t = (int64_t)Z * L;
+  std::vector<int32_t> parent(t);
+  for (int64_t i = 0; i < t; ++i) parent[i] = (int32_t)i;
+  auto find = [&](int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  auto unite = [&](int32_t a, int32_t b) {
+    int32_t ra = find(a), rb = find(b);
+    if (ra != rb) parent[std::max(ra, rb)] = std::min(ra, rb);
+  };
+  for (int32_t z = 0; z + 1 < Z; ++z) {
+    const uint16_t* la = labels + (size_t)z * hw;
+    const uint16_t* lb = labels + (size_t)(z + 1) * hw;
+    int32_t last_a = -1, last_b = -1;
+    for (int64_t i = 0; i < hw; ++i) {
+      int32_t a = la[i], b = lb[i];
+      if ((a == 0) != (b == 0)) continue;  // bg only merges with bg
+      if (a == last_a && b == last_b) continue;  // run-skip
+      last_a = a;
+      last_b = b;
+      unite(z * L + a, (z + 1) * L + b);
+    }
+  }
+  // dense renumber: valid labels are l < num_labels[z]; merged ids in
+  // ascending order of each partition's smallest global label
+  std::vector<int32_t> dense(t, -1);
+  int32_t num_merged = 0;
+  for (int32_t z = 0; z < Z; ++z)
+    for (int32_t l = 0; l < num_labels[z]; ++l) {
+      int32_t g = z * L + l;
+      if (find(g) == g) dense[g] = num_merged++;
+    }
+  for (int32_t z = 0; z < Z; ++z) {
+    for (int32_t l = 0; l < L; ++l) {
+      int32_t g = z * L + l;
+      merged_of_label[g] = (l < num_labels[z]) ? dense[find(g)] : 0;
+    }
+  }
+  // per-object voxel stats over occupied voxels (device semantics:
+  // ids clamped to max_objects-1; empty objects get vmax=-1)
+  const int32_t M = max_objects;
+  for (int32_t m = 0; m < M; ++m) {
+    voxel_count[m] = 0;
+    centroid[3 * m] = centroid[3 * m + 1] = centroid[3 * m + 2] = 0;
+    vmin[3 * m] = vmin[3 * m + 1] = vmin[3 * m + 2] = 0;
+    vmax[3 * m] = vmax[3 * m + 1] = vmax[3 * m + 2] = -1;
+  }
+  std::vector<double> sums((size_t)M * 3, 0.0);
+  std::vector<int32_t> mn((size_t)M * 3, INT32_MAX), mx((size_t)M * 3,
+                                                        INT32_MIN);
+  for (int32_t z = 0; z < Z; ++z) {
+    const uint16_t* lz = labels + (size_t)z * hw;
+    const uint8_t* oz = occ + (size_t)z * hw;
+    const int32_t* mz = merged_of_label + (size_t)z * L;
+    for (int64_t i = 0; i < hw; ++i) {
+      if (!oz[i]) continue;
+      int32_t m = mz[lz[i]];
+      if (m >= M) m = M - 1;
+      int32_t x = (int32_t)(i % W), y = (int32_t)(i / W);
+      voxel_count[m]++;
+      sums[3 * m] += x;
+      sums[3 * m + 1] += y;
+      sums[3 * m + 2] += z;
+      mn[3 * m] = std::min(mn[3 * m], x);
+      mn[3 * m + 1] = std::min(mn[3 * m + 1], y);
+      mn[3 * m + 2] = std::min(mn[3 * m + 2], z);
+      mx[3 * m] = std::max(mx[3 * m], x);
+      mx[3 * m + 1] = std::max(mx[3 * m + 1], y);
+      mx[3 * m + 2] = std::max(mx[3 * m + 2], z);
+    }
+  }
+  for (int32_t m = 0; m < M; ++m) {
+    if (voxel_count[m] > 0) {
+      for (int k = 0; k < 3; ++k) {
+        centroid[3 * m + k] = sums[3 * m + k] / (double)voxel_count[m];
+        vmin[3 * m + k] = mn[3 * m + k];
+        vmax[3 * m + k] = mx[3 * m + k];
+      }
+    }
+  }
+  return num_merged;
+}
+
+// ---------------------------------------------------------------------------
 // Depth-link codec (encoder half; the decoder is a vectorized XLA program,
 // ops/depth_codec.py). Lossless masked row-DPCM for u16 depth maps:
 //

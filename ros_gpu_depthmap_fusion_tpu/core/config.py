@@ -81,6 +81,9 @@ class FusionConfig:
     emit_raw_points: bool = True
 
     # --- segmentation / tracking ---
+    # "auto": host (native C++, reference-parity architecture) when the
+    # native library is available, else the on-device XLA program.
+    segmentation_backend: str = "auto"   # "auto" | "host" | "device"
     object_min_area: float = 0.2 * 0.2  # m^2 in topview
     cc_max_labels_per_layer: int = 256  # static cap for per-layer CC labels
     max_objects: int = 64               # static cap for extracted objects

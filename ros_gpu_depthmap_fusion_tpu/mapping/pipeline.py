@@ -32,16 +32,50 @@ class MappingResult(NamedTuple):
 
 
 class MappingPipeline:
-    """Stateful (tracks persist across frames) mapping driver."""
+    """Stateful (tracks persist across frames) mapping driver.
+
+    Two segmentation backends (``cfg.segmentation_backend``):
+
+    - ``"device"`` — the jitted XLA program (:mod:`.segmentation`); results
+      come back in ONE batched ``jax.device_get`` with labels narrowed to
+      u16 (sequential per-array fetches pay a link round-trip each).
+    - ``"host"`` — the native C++ path (``fh_segment_grid``), mirroring the
+      reference's production CPU-CC architecture
+      (gpu_depthmap_fusion.cpp:1872-2361): only the (small) occupancy grid
+      crosses the link. Bit-exact with the device program (tested); on a
+      tunneled link it is ~an order of magnitude faster per mapping cycle.
+    - ``"auto"`` (default) — host when the native library is present.
+    """
 
     def __init__(self, cfg: FusionConfig, grid: VoxelGrid):
         self.cfg = cfg
         self.grid = grid
         self.tracks: List[CCObjectTrack] = []
-        self._segment = jax.jit(functools.partial(
-            segment,
-            max_labels=cfg.cc_max_labels_per_layer,
-            max_objects=cfg.max_objects))
+
+        def _segment_u16(occ):
+            seg = segment(occ, max_labels=cfg.cc_max_labels_per_layer,
+                          max_objects=cfg.max_objects)
+            return seg._replace(labels=seg.labels.astype(jnp.uint16))
+
+        self._segment = jax.jit(_segment_u16)
+        backend = getattr(cfg, "segmentation_backend", "auto")
+        if backend == "auto":
+            from ros_gpu_depthmap_fusion_tpu.utils import native
+            backend = "host" if native.available() else "device"
+        self.backend = backend
+
+    def _segment_host(self, occ: np.ndarray) -> dict:
+        from ros_gpu_depthmap_fusion_tpu.utils import native
+        res = native.segment_grid(occ, self.cfg.cc_max_labels_per_layer,
+                                  self.cfg.max_objects)
+        if res is None:  # no native library: fall back to device
+            seg = jax.device_get(self._segment(jnp.asarray(occ)))
+            res = dict(labels=seg.labels, num_labels=seg.num_labels,
+                       merged_of_label=seg.merged_of_label,
+                       num_merged=int(seg.num_merged),
+                       voxel_count=seg.voxel_count, centroid=seg.centroid,
+                       vmin=seg.vmin, vmax=seg.vmax)
+        return res
 
     def process(self, occupancy_u8: jnp.ndarray,
                 dt: float | None = None,
@@ -51,19 +85,27 @@ class MappingPipeline:
         dt = self.cfg.tracking_dt if dt is None else dt
         z, y, x = self.grid.shape_zyx
         occ = occupancy_u8[: self.grid.num_cells].reshape(z, y, x)
-        seg = self._segment(occ)
+        if self.backend == "host":
+            res = self._segment_host(np.asarray(occ))
+        else:
+            seg = self._segment(occ)
+            # one batched async fetch (device_get prefetches the pytree)
+            host = jax.device_get(
+                (seg.labels, seg.num_labels, seg.merged_of_label,
+                 seg.num_merged, seg.voxel_count, seg.centroid, seg.vmin,
+                 seg.vmax))
+            res = dict(labels=host[0], num_labels=host[1],
+                       merged_of_label=host[2], num_merged=int(host[3]),
+                       voxel_count=host[4], centroid=host[5], vmin=host[6],
+                       vmax=host[7])
         objects = build_objects(
-            labels=np.asarray(seg.labels),
-            num_labels=np.asarray(seg.num_labels),
-            merged_of_label=np.asarray(seg.merged_of_label),
-            num_merged=int(seg.num_merged),
-            voxel_count=np.asarray(seg.voxel_count),
-            centroid=np.asarray(seg.centroid),
-            vmin=np.asarray(seg.vmin),
-            vmax=np.asarray(seg.vmax),
-            grid=self.grid,
+            labels=res["labels"], num_labels=res["num_labels"],
+            merged_of_label=res["merged_of_label"],
+            num_merged=int(res["num_merged"]),
+            voxel_count=res["voxel_count"], centroid=res["centroid"],
+            vmin=res["vmin"], vmax=res["vmax"], grid=self.grid,
             with_contours=with_contours)
         stats = track_objects(objects, self.tracks,
                               self.cfg.object_min_area, dt)
         return MappingResult(objects=objects, tracks=self.tracks,
-                             stats=stats, num_merged=int(seg.num_merged))
+                             stats=stats, num_merged=int(res["num_merged"]))

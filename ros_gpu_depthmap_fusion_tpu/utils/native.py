@@ -77,6 +77,9 @@ def _load() -> Optional[ctypes.CDLL]:
                                     u32p, u32p, u32p, u16p, u32p, u32p,
                                     i64p]
     lib.fh_depth_encode.restype = i32
+    lib.fh_segment_grid.argtypes = [u8p, i32, i32, i32, i32, i32, u16p,
+                                    i32p, i32p, i64p, f64p, i32p, i32p]
+    lib.fh_segment_grid.restype = i32
     _lib = lib
     return _lib
 
@@ -263,6 +266,32 @@ def assemble_objects(labels: np.ndarray, merged_of_label: np.ndarray,
         contour_start=contour_start[:nc + 1],
         contour_xy=contour_xy.reshape(-1, 2),
         comp_shapes=comp_shapes.reshape(-1, 16)[:nc])
+
+
+def segment_grid(occ_zyx: np.ndarray, max_labels: int, max_objects: int):
+    """Host segmentation backend (fh_segment_grid): per-layer 8-connected
+    CC + cross-layer merge to fixpoint + per-object voxel stats, matching
+    the device program in mapping/segmentation.py bit-for-bit on labels and
+    merge ids. Returns a dict or None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    occ = np.ascontiguousarray((np.asarray(occ_zyx) != 0).astype(np.uint8))
+    z, h, w = occ.shape
+    labels = np.zeros((z, h, w), np.uint16)
+    num_labels = np.zeros(z, np.int32)
+    merged = np.zeros((z, max_labels), np.int32)
+    count = np.zeros(max_objects, np.int64)
+    cen = np.zeros((max_objects, 3), np.float64)
+    vmin = np.zeros((max_objects, 3), np.int32)
+    vmax = np.zeros((max_objects, 3), np.int32)
+    nm = int(lib.fh_segment_grid(
+        occ.reshape(-1), z, h, w, max_labels, max_objects,
+        labels.reshape(-1), num_labels, merged.reshape(-1), count,
+        cen.reshape(-1), vmin.reshape(-1), vmax.reshape(-1)))
+    return dict(labels=labels, num_labels=num_labels, merged_of_label=merged,
+                num_merged=nm, voxel_count=count, centroid=cen,
+                vmin=vmin, vmax=vmax)
 
 
 def depth_encode(depth_u16: np.ndarray, max_exceptions: int = 8192,

@@ -262,3 +262,44 @@ def test_merge_labels_zigzag_full_convergence():
         occ[k, 1:3, 2 * k: 2 * k + 4] = True
     res = segment(jnp.asarray(occ), max_labels=16, max_objects=8)
     assert int(res.num_merged) == 2  # background + one object
+
+
+def test_host_segmentation_matches_device():
+    """fh_segment_grid (native C++) must reproduce the device program:
+    identical labels, merge table, merged count and voxel stats."""
+    import pytest
+    from ros_gpu_depthmap_fusion_tpu.utils import native
+    if not native.available():
+        pytest.skip("native library not built")
+    import functools
+    import jax
+    from ros_gpu_depthmap_fusion_tpu.mapping.segmentation import segment
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        z, y, x = 7, 40, 48
+        occ = np.zeros((z, y, x), bool)
+        for _ in range(10):
+            x0, y0 = rng.integers(0, x - 10), rng.integers(0, y - 10)
+            w, h = rng.integers(2, 9, 2)
+            z0 = rng.integers(0, z - 2)
+            occ[z0:z0 + int(rng.integers(1, 4)), y0:y0 + h, x0:x0 + w] = True
+        occ |= rng.random((z, y, x)) < 0.02  # speckle
+
+        L, M = 64, 32
+        seg = jax.jit(functools.partial(segment, max_labels=L,
+                                        max_objects=M))(occ.astype(np.uint8))
+        res = native.segment_grid(occ, L, M)
+        np.testing.assert_array_equal(res["labels"],
+                                      np.asarray(seg.labels))
+        np.testing.assert_array_equal(res["num_labels"],
+                                      np.asarray(seg.num_labels))
+        np.testing.assert_array_equal(res["merged_of_label"],
+                                      np.asarray(seg.merged_of_label))
+        assert res["num_merged"] == int(seg.num_merged)
+        np.testing.assert_array_equal(res["voxel_count"],
+                                      np.asarray(seg.voxel_count))
+        np.testing.assert_array_equal(res["vmin"], np.asarray(seg.vmin))
+        np.testing.assert_array_equal(res["vmax"], np.asarray(seg.vmax))
+        np.testing.assert_allclose(res["centroid"],
+                                   np.asarray(seg.centroid), atol=1e-4)
