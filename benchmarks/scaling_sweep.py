@@ -19,6 +19,7 @@ import numpy as np
 def main():
     import os
     import jax
+from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
     # this image's sitecustomize overwrites JAX_PLATFORMS at interpreter
     # start; jax.config.update still wins if no backend has initialized.
     # A single real chip can't sweep, so default to the virtual-CPU mesh
@@ -72,14 +73,14 @@ def main():
         for i in range(cams):
             eng.add_depthmap(i, depth, intr, eye, eye)
         out = eng.process(1.0)
-        jax.block_until_ready(out.occupancy_u8)
+        hard_sync(out.occupancy_u8)
         iters = 20
         t0 = time.perf_counter()
         for f in range(iters):
             for i in range(cams):
                 eng.add_depthmap(i, depth, intr, eye, eye)
             out = eng.process(1.0 + f / 30.0)
-        jax.block_until_ready(out.occupancy_u8)
+        hard_sync(out.occupancy_u8)
         dt = (time.perf_counter() - t0) / iters
         results[n_dev] = (cams, dt)
         print(f"devices={n_dev:2d} mesh=({n_stream}x{n_space}) cams={cams} "

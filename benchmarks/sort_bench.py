@@ -39,16 +39,17 @@ def main():
 
     try:
         import jax
+from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
         import jax.numpy as jnp
         from ros_gpu_depthmap_fusion_tpu.ops.voxelize import sort_by_key
         kj = jnp.asarray(keys.astype(np.int32))
         idx = jnp.arange(n, dtype=jnp.int32)
         f = jax.jit(lambda k, i: sort_by_key(k, i))
-        jax.block_until_ready(f(kj, idx))
+        hard_sync(f(kj, idx))
         t0 = time.perf_counter()
         for _ in range(5):
             out = f(kj, idx)
-        jax.block_until_ready(out)
+        hard_sync(out)
         t = (time.perf_counter() - t0) / 5
         print(f"device lax.sort ({jax.devices()[0].platform}): "
               f"{t*1e6:10.0f} us")

@@ -13,11 +13,12 @@ import numpy as np
 
 def timeit(fn, *args, iters=20):
     import jax
-    jax.block_until_ready(fn(*args))
+from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
+    hard_sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -99,7 +100,7 @@ def main():
                          np.eye(4, dtype=np.float32))
     t0 = time.perf_counter()
     out = eng.process(1.0)
-    jax.block_until_ready(out.fused_count)
+    hard_sync(out.fused_count)
     compile_t = time.perf_counter() - t0
     ts = []
     for f in range(10):
@@ -110,7 +111,7 @@ def main():
                              np.eye(4, dtype=np.float32))
         t0 = time.perf_counter()
         out = eng.process(1.0 + f * 0.03)
-        jax.block_until_ready(out.fused_count)
+        hard_sync(out.fused_count)
         ts.append(time.perf_counter() - t0)
     print(f"{'fused end-to-end step':28s} {np.mean(ts)*1e6:12.1f} us "
           f"(compile {compile_t:.1f}s) -> {1/np.mean(ts):.1f} fps")

@@ -7,6 +7,7 @@ import time
 
 import numpy as np
 import jax
+from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
 
 from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
 from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
@@ -60,7 +61,7 @@ def main():
                                tf_move=np.eye(4, dtype=np.float32))
         t0 = time.time()
         out = eng.process(10.0 + f / 30.0)
-        jax.block_until_ready(out.fused_count)
+        hard_sync(out.fused_count)
         dt = time.time() - t0
         if f == 0:
             print(f"first frame (compile): {dt:.1f}s")

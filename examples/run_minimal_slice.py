@@ -4,6 +4,7 @@ compact -> voxel occupancy -> occupied cell centers."""
 import time
 import numpy as np
 import jax
+from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
 import jax.numpy as jnp
 
 import ros_gpu_depthmap_fusion_tpu as rdf
@@ -59,7 +60,7 @@ t0 = time.time()
 iters = 20
 for _ in range(iters):
     count, hist, occ8, centers, ncells = jstep(jnp.asarray(depth_u16), hist)
-jax.block_until_ready(hist)
+hard_sync(hist)
 dt = (time.time() - t0) / iters
 print(f"steady state: {dt*1e3:.2f} ms/frame -> {1/dt:.1f} fps (1 cam 640x480)")
 print("valid points after filters:", int(count), "/", H * W)

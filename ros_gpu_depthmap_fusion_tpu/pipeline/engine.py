@@ -271,6 +271,9 @@ class FusionEngine:
 
     def __init__(self, cfg: FusionConfig, grid: Optional[VoxelGrid] = None,
                  enable_mapping: bool = False):
+        from ros_gpu_depthmap_fusion_tpu.utils.compilation_cache import (
+            enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache()
         self.cfg = cfg
         self.grid = grid or VoxelGrid.from_config(cfg)
         self.step = build_fusion_step(cfg, self.grid)

@@ -7,7 +7,7 @@
   prints when ``enable_debug_output`` is set (``_component.cpp:471-514``):
   a fixed stage list with per-frame microsecond readings. On TPU the fused
   step is one XLA program, so stage-level numbers come from running the
-  stage list separately under ``block_until_ready`` (see
+  stage list separately under :func:`hard_sync` (see
   ``benchmarks/stage_breakdown.py``); end-to-end numbers use this timer
   around the fused step.
 - ``jax.profiler`` trace capture helper for Perfetto/XProf.
@@ -18,6 +18,21 @@ from __future__ import annotations
 import contextlib
 import time
 from typing import Dict, List, Optional
+
+
+def hard_sync(x) -> None:
+    """Trustworthy device sync: materialize a tiny probe of ``x`` on the
+    host. On some platforms (the axon TPU plugin in particular)
+    ``jax.block_until_ready`` can return before queued work — including
+    compilation — has finished, so any timing code MUST sync through a
+    host materialization or it measures dispatch rate, not throughput."""
+    import jax
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[-1])
+            return
+    jax.block_until_ready(x)  # no array leaves: best effort
 
 # the reference's canonical stage schema (_component.cpp:471-514)
 REFERENCE_STAGES = [
@@ -92,8 +107,7 @@ class StageTimer:
             yield
         finally:
             if block is not None:
-                import jax
-                jax.block_until_ready(block)
+                hard_sync(block)
             self.record(name, time.perf_counter() - t0)
 
     def summary_us(self) -> Dict[str, float]:
