@@ -14,12 +14,11 @@ as ``[C, 3, H, W]`` planes. A trailing xyz dimension of 3 would be padded
 to the 128-lane vector width (a 42x VMEM blow-up); with planes, the lane
 dimension is W. Masks are int32/f32 — Mosaic's 1-bit vectors are avoided.
 
-Measured on TPU v5e (8 cams, 480x848, filter_size=1 + rot45): the XLA
-fusion of the jnp op runs ~0.030 ms vs ~0.046 ms for this kernel — XLA's
-automatic fusion already keeps the stencil on-chip at this working-set
-size, so :func:`filter_flying_pixels_auto` defaults to the jnp path and
-this kernel remains a parity-tested alternative (and the template for
-stencils whose working set XLA no longer fuses).
+Measured on TPU v5e with hard-synced timing (8 cams, 480x848,
+filter_size=2 + rot45): this kernel runs ~14.3 ms vs ~19.7 ms for XLA's
+fusion of the jnp formulation, and compiles in ~5 s vs ~70 s, so
+:func:`filter_flying_pixels_auto` defaults to it on TPU. (The jnp path
+remains the oracle and the CPU/testing implementation.)
 """
 
 from __future__ import annotations
@@ -179,12 +178,14 @@ def filter_flying_pixels_pallas(points_cam: jnp.ndarray,
 
 def filter_flying_pixels_auto(points_cam, mask, height, width, filter_size,
                               threshold, enable_rot45, max_distance=10.0,
-                              prefer_pallas: bool = False):
-    """Dispatch between the XLA and Pallas implementations. Benchmarks on
-    v5e favor the XLA fusion at camera-image sizes (see module docstring),
-    so the jnp path is the default; set ``prefer_pallas`` on TPU to use the
-    hand-written kernel."""
-    if prefer_pallas and jax.default_backend() == "tpu":
+                              prefer_pallas: bool = True):
+    """Dispatch between the XLA and Pallas implementations. Hard-synced
+    benchmarks on v5e (8 cams, 480x848): the Pallas kernel runs ~14.3 ms
+    vs ~19.7 ms for the XLA fusion of the jnp formulation AND compiles in
+    5 s vs 70 s, so it is the TPU default. (An earlier measurement through
+    the platform's unreliable block_until_ready concluded the opposite —
+    see the measurement-discipline note in CLAUDE.md.)"""
+    if prefer_pallas and jax.default_backend() in ("tpu", "axon"):
         return filter_flying_pixels_pallas(
             points_cam, mask, height, width, filter_size, float(threshold),
             enable_rot45, float(max_distance))

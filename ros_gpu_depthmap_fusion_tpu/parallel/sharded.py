@@ -37,8 +37,9 @@ from jax import shard_map
 from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
 from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
 from ros_gpu_depthmap_fusion_tpu.ops.unproject import unproject_depthmaps
-from ros_gpu_depthmap_fusion_tpu.ops.stencil import (
-    filter_flying_pixels, filter_point_sequence)
+from ros_gpu_depthmap_fusion_tpu.ops.pallas.flying_pixels import (
+    filter_flying_pixels_auto as filter_flying_pixels)
+from ros_gpu_depthmap_fusion_tpu.ops.stencil import filter_point_sequence
 from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import crop_points, compact
 from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
     scatter_occupancy, update_historic_occupancy, occupancy_to_u8)
