@@ -19,7 +19,7 @@ import numpy as np
 def main():
     import os
     import jax
-from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
+    from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
     # this image's sitecustomize overwrites JAX_PLATFORMS at interpreter
     # start; jax.config.update still wins if no backend has initialized.
     # A single real chip can't sweep, so default to the virtual-CPU mesh

@@ -39,7 +39,7 @@ def main():
 
     try:
         import jax
-from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
+        from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
         import jax.numpy as jnp
         from ros_gpu_depthmap_fusion_tpu.ops.voxelize import sort_by_key
         kj = jnp.asarray(keys.astype(np.int32))

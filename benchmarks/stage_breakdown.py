@@ -12,8 +12,7 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=20):
-    import jax
-from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
+    from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
     hard_sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -25,6 +24,7 @@ from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
 def main():
     import jax
     import jax.numpy as jnp
+    from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
     from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
     from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
     from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
