@@ -850,17 +850,19 @@ int32_t fh_segment_grid(const uint8_t* occ, int32_t Z, int32_t H, int32_t W,
 
 // ---------------------------------------------------------------------------
 // Depth-link codec (encoder half; the decoder is a vectorized XLA program,
-// ops/depth_codec.py). Lossless masked row-DPCM for u16 depth maps:
+// ops/depth_codec.py). Lossless escape-zero row-DPCM for u16 depth maps:
 //
-//  - holes (depth == 0) go to a 1-bit mask plane and contribute delta 0;
+//  - each pixel is a B-bit code; codes 0..2^B-2 are zigzag(d - previous
+//    valid pixel in the row); the top code ESC = 2^B-1 marks a hole
+//    (depth == 0, contributes delta 0) — no separate mask plane;
 //  - each row's first VALID pixel is stored raw (row_first) and gets
-//    delta 0, so DPCM never pays a full-magnitude recovery delta;
-//  - remaining valid pixels store zigzag(d - previous_valid) packed at a
-//    frame-constant bit width B (chosen as the smallest width whose
-//    overflow count fits the exception budget);
-//  - oversized deltas are encoded as 0 in the stream and their true
-//    zigzag value goes to an (index, value) exception list the decoder
-//    scatters back before the row prefix-sum.
+//    code 0 (delta 0), so DPCM never pays a full-magnitude recovery delta;
+//  - zigzag values >= ESC are encoded as 0 in the stream and their true
+//    value goes to an (index, value) exception list the decoder scatters
+//    back before the row prefix-sum;
+//  - B is frame-constant: the smallest allowed width whose overflow count
+//    fits the exception budget (the decoder compiles one jit variant per
+//    allowed width). B=17 never overflows (max zigzag(+-65535) = 2^17-2).
 //
 // Rationale: the host->device link is the fusion engine's bottleneck at
 // multi-camera scale; smooth depth compresses to ~3-5 bits/px, and the
@@ -873,81 +875,81 @@ static inline uint32_t fh_zigzag(int32_t d) {
 }
 
 static inline int fh_bits_needed(uint32_t v) {
+#if defined(__GNUC__) || defined(__clang__)
+  return v ? 32 - __builtin_clz(v) : 0;
+#else
   int b = 0;
   while (v) {
     ++b;
     v >>= 1;
   }
   return b;
+#endif
 }
 
-// Returns chosen bit width B (0..17; 0 = every delta zero). Caller
-// allocates: zz_tmp u32[C*H*W] scratch, words u32[C*H*ceil(W*17/32)]
-// (worst case; actual rows use stride ceil(W*B/32)), mask_words
-// u32[C*H*ceil(W/32)], row_first u16[C*H], exc_idx u32[max_exc],
-// exc_zz u32[max_exc]. out_meta[0] = exception count, out_meta[1] =
-// words-per-row at the chosen B.
-int32_t fh_depth_encode(const uint16_t* depth, int32_t C, int32_t H,
-                        int32_t W, int32_t max_exc,
-                        const int32_t* allowed_bits, int32_t n_allowed,
-                        uint32_t* zz_tmp, uint32_t* words,
-                        uint32_t* mask_words, uint16_t* row_first,
-                        uint32_t* exc_idx, uint32_t* exc_zz,
-                        int64_t* out_meta) {
+static const uint32_t FH_HOLE = 0xFFFFFFFFu;  // zz_tmp sentinel for depth==0
+
+// Returns chosen bit width B (1..17) or -1 when the overflow count exceeds
+// max_exc at every allowed width. Caller allocates: zz_tmp u32[C*H*W]
+// scratch, words u32[C*H*ceil(W*B/32)] at the largest allowed B (rows use
+// stride ceil(W*B/32) of the CHOSEN B), row_first u16[C*H],
+// exc_idx/exc_zz u32[max_exc]. out_meta[0] = exception count,
+// out_meta[1] = words-per-row at the chosen B.
+int32_t fh_depth_encode2(const uint16_t* depth, int32_t C, int32_t H,
+                         int32_t W, int64_t max_exc,
+                         const int32_t* allowed_bits, int32_t n_allowed,
+                         uint32_t* zz_tmp, uint32_t* words,
+                         uint16_t* row_first,
+                         uint32_t* exc_idx, uint32_t* exc_zz,
+                         int64_t* out_meta) {
   const int64_t rows = (int64_t)C * H;
-  const int32_t mask_wpr = (W + 31) / 32;
-  // pass 1: per-row DPCM -> zigzag deltas + global width histogram
-  int64_t hist[18] = {0};
+  // pass 1: per-row DPCM -> zigzag deltas (holes -> sentinel) + histogram
+  // of bits_needed(zz + 1); zz >= 2^B - 1  <=>  bits_needed(zz+1) > B
+  int64_t hist[20] = {0};
 #pragma omp parallel
   {
-    int64_t lhist[18] = {0};
+    int64_t lhist[20] = {0};
 #pragma omp for nowait
     for (int64_t r = 0; r < rows; ++r) {
       const uint16_t* row = depth + r * W;
       uint32_t* zrow = zz_tmp + r * W;
-      uint32_t* mrow = mask_words + r * mask_wpr;
-      for (int32_t i = 0; i < mask_wpr; ++i) mrow[i] = 0;
       int32_t prev = -1;
       uint16_t first = 0;
       for (int32_t x = 0; x < W; ++x) {
         uint16_t d = row[x];
-        uint32_t z = 0;
-        if (d != 0) {
-          mrow[x >> 5] |= 1u << (x & 31);
-          if (prev < 0)
-            first = d;  // delta 0 by construction
-          else
-            z = fh_zigzag((int32_t)d - prev);
-          prev = d;
+        if (d == 0) {
+          zrow[x] = FH_HOLE;
+          continue;
         }
+        uint32_t z = 0;
+        if (prev < 0)
+          first = d;  // delta 0 by construction
+        else
+          z = fh_zigzag((int32_t)d - prev);
+        prev = d;
         zrow[x] = z;
-        lhist[fh_bits_needed(z)]++;
+        lhist[fh_bits_needed(z + 1)]++;
       }
       row_first[r] = first;
     }
 #pragma omp critical
-    for (int i = 0; i < 18; ++i) hist[i] += lhist[i];
+    for (int i = 0; i < 20; ++i) hist[i] += lhist[i];
   }
-  // choose the smallest B whose overflow count fits the exception budget,
-  // then round up to the caller's allowed widths (the decoder compiles one
-  // variant per width, so widths are bucketed)
-  int32_t B = 17;
-  int64_t over = 0;
-  for (int b = 17; b >= 0; --b) {
-    if (b < 17) over += hist[b + 1];
-    if (over <= max_exc)
+  // smallest allowed B whose overflow fits the exception budget
+  int64_t tail[20];  // tail[b] = # valid px with zz >= 2^b - 1
+  tail[19] = 0;
+  for (int b = 18; b >= 1; --b) tail[b] = tail[b + 1] + hist[b + 1];
+  int32_t B = -1;
+  for (int32_t i = 0; i < n_allowed; ++i) {
+    const int32_t b = allowed_bits[i];  // ascending
+    if (b >= 1 && b <= 17 && tail[b] <= max_exc) {
       B = b;
-    else
       break;
+    }
   }
-  if (n_allowed > 0) {
-    int32_t best = 17;
-    for (int32_t i = 0; i < n_allowed; ++i)
-      if (allowed_bits[i] >= B && allowed_bits[i] < best)
-        best = allowed_bits[i];
-    B = best;
-  }
+  if (B < 0) return -1;
   const int32_t wpr = (int32_t)(((int64_t)W * B + 31) / 32);
+  const uint32_t esc = (1u << B) - 1;  // hole marker code
   // pass 2: pack B-bit fields (exceptions -> 0 in stream, true value to
   // the per-thread lists, merged + index-sorted for determinism)
   std::vector<std::vector<uint64_t>> exc_parts;
@@ -967,14 +969,14 @@ int32_t fh_depth_encode(const uint16_t* depth, int32_t C, int32_t H,
       const uint32_t* zrow = zz_tmp + r * W;
       uint32_t* wrow = words + r * wpr;
       for (int32_t i = 0; i < wpr; ++i) wrow[i] = 0;
-      const uint32_t lim = (B == 0) ? 0 : ((1u << B) - 1);
       for (int32_t x = 0; x < W; ++x) {
         uint32_t z = zrow[x];
-        if (z > lim) {
+        if (z == FH_HOLE) {
+          z = esc;
+        } else if (z >= esc) {
           mine.push_back(((uint64_t)(r * W + x) << 32) | z);
           z = 0;
         }
-        if (B == 0) continue;
         const int64_t bitpos = (int64_t)x * B;
         const int64_t wi = bitpos >> 5;
         const int32_t sh = (int32_t)(bitpos & 31);
@@ -986,7 +988,7 @@ int32_t fh_depth_encode(const uint16_t* depth, int32_t C, int32_t H,
   std::vector<uint64_t> exc;
   for (auto& p : exc_parts) exc.insert(exc.end(), p.begin(), p.end());
   std::sort(exc.begin(), exc.end());
-  if ((int64_t)exc.size() > max_exc) return -1;  // cannot happen at B<=17
+  if ((int64_t)exc.size() > max_exc) return -1;
   for (size_t i = 0; i < exc.size(); ++i) {
     exc_idx[i] = (uint32_t)(exc[i] >> 32);
     exc_zz[i] = (uint32_t)exc[i];

@@ -53,24 +53,59 @@ class ShardedFusionEngine(FusionEngine):
         self.clear()
 
     def clear(self):
-        super().clear()
+        # plain-array staging (the sharded device_put in process()
+        # distributes camera shards directly to their devices, so the
+        # single-chip packet transfer does not apply here)
         c = self.cfg.num_depth_streams
         h, w = self.cfg.depth_height, self.cfg.depth_width
         if not hasattr(self, "_depth_np"):
             self._depth_np = np.zeros((c, h, w), np.uint16)
+            self._seq_points = np.zeros((self._stage_cap, 4), np.float32)
+            self._seq_idx = np.zeros((self._stage_cap,), np.int32)
         self._depth_np.fill(0)
+        self._intr = np.zeros((c, 4), np.float32)
+        self._tf_world = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
+        self._tf_crop = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
+        self._seq_meta = []          # (sec, nsec, count, tf_move)
+        self._seq_fill = 0
 
     def add_depthmap(self, slot: int, depth_u16: np.ndarray,
                      intrinsics, tf_world: np.ndarray,
                      tf_crop: np.ndarray):
-        # host staging: the sharded device_put in process() distributes
-        # camera shards directly to their devices
         self._depth_np[slot] = depth_u16
         self._intr[slot] = np.asarray(
             intrinsics.as_array() if hasattr(intrinsics, "as_array")
             else intrinsics, np.float32)
         self._tf_world[slot] = tf_world
         self._tf_crop[slot] = tf_crop
+
+    def add_point_sequence(self, points_xyz: np.ndarray, sec: int, nsec: int,
+                           tf_move: np.ndarray):
+        from ros_gpu_depthmap_fusion_tpu.utils import native
+        n = min(len(points_xyz), self._stage_cap - self._seq_fill)
+        if n <= 0 or len(self._seq_meta) >= self._seq_stage_cap:
+            return
+        sl = slice(self._seq_fill, self._seq_fill + n)
+        native.stage_points_xyz(np.asarray(points_xyz[:n], np.float32),
+                                self._seq_points[sl])
+        self._seq_idx[sl] = len(self._seq_meta)
+        self._seq_meta.append((sec, nsec, n, np.asarray(tf_move, np.float32)))
+        self._seq_fill += n
+
+    def _make_seq_batch_np(self) -> SequenceBatch:
+        s_cap = self._seq_stage_cap
+        sec = np.zeros(s_cap, np.int32)
+        nsec = np.zeros(s_cap, np.int32)
+        cnt = np.zeros(s_cap, np.int32)
+        tfs = np.tile(np.eye(4, dtype=np.float32), (s_cap, 1, 1))
+        for i, (s, ns, n, tf) in enumerate(self._seq_meta):
+            sec[i], nsec[i], cnt[i] = s, ns, n
+            tfs[i] = tf
+        return SequenceBatch(
+            points=self._seq_points, seq_idx=self._seq_idx,
+            seq_sec=sec, seq_nsec=nsec, seq_count=cnt, seq_tf_move=tfs,
+            num_points=np.int32(self._seq_fill),
+            num_seqs=np.int32(len(self._seq_meta)))
 
     def process(self, now_seconds: float,
                 tf_world_move: Optional[np.ndarray] = None,

@@ -42,7 +42,7 @@ from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
 from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
 from ros_gpu_depthmap_fusion_tpu.core import timeutil
 from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
-    B_BUCKETS, EncodedDepth, decode_depth)
+    B_BUCKETS, decode_depth)
 from ros_gpu_depthmap_fusion_tpu.ops.unproject import unproject_depthmaps
 from ros_gpu_depthmap_fusion_tpu.ops.pallas.flying_pixels import (
     filter_flying_pixels_auto as filter_flying_pixels)
@@ -256,6 +256,25 @@ def build_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
                    static_argnames=("depth_bits",))
 
 
+def build_packet_step(cfg: FusionConfig, grid: VoxelGrid, layout,
+                      output_capacity: Optional[int] = None,
+                      donate: bool = True):
+    """Jit the fused step over a single packed u32 frame buffer (one
+    host->device transfer per frame; see :mod:`pipeline.packet`)."""
+    from ros_gpu_depthmap_fusion_tpu.pipeline.packet import unpack_packet
+    if output_capacity is None:
+        output_capacity = min(grid.num_cells, cfg.total_point_capacity,
+                              cfg.voxelize_output_capacity)
+
+    def step(state, packet, depth_bits: Optional[int]):
+        inp = unpack_packet(packet, layout, depth_bits)
+        return fusion_step(state, inp, depth_bits, cfg=cfg, grid=grid,
+                           output_capacity=output_capacity)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   static_argnames=("depth_bits",))
+
+
 # ---------------------------------------------------------------------------
 # Host orchestrator
 # ---------------------------------------------------------------------------
@@ -274,10 +293,11 @@ class FusionEngine:
                  enable_mapping: bool = False):
         from ros_gpu_depthmap_fusion_tpu.utils.compilation_cache import (
             enable_persistent_compilation_cache)
+        from ros_gpu_depthmap_fusion_tpu.pipeline.packet import (
+            HostPacket, PacketLayout)
         enable_persistent_compilation_cache()
         self.cfg = cfg
         self.grid = grid or VoxelGrid.from_config(cfg)
-        self.step = build_fusion_step(cfg, self.grid)
         self.state = initial_state(cfg, self.grid)
         self.enable_mapping = enable_mapping
         if enable_mapping:
@@ -288,26 +308,26 @@ class FusionEngine:
             self.mapping = None
         self._stage_cap = cfg.max_points_per_sequence
         self._seq_stage_cap = max(1, cfg.num_point_sequences * 4)
+        self.layout = PacketLayout.for_config(
+            cfg, seq_cap=self._seq_stage_cap, stage_cap=self._stage_cap)
+        self.step = build_packet_step(cfg, self.grid, self.layout)
+        # two host packets alternate so frame k+1 stages while frame k's
+        # transfer may still be in flight
+        self._packets = (HostPacket(self.layout), HostPacket(self.layout))
+        self._pkt_flip = 0
+        c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
+        self._depth_host = np.zeros((c, h, w), np.uint16)
         self.clear()
 
     # --- ingestion (reference addDepthmap / addPointSequence) ---
     def clear(self):
-        c = self.cfg.num_depth_streams
-        h, w = self.cfg.depth_height, self.cfg.depth_width
-        # depth stages into one pinned host array and ships as ONE transfer
-        # with the rest of the frame inputs: on this link each device_put
-        # pays a fixed round-trip on top of ~70 MB/s bandwidth, so batched
-        # staging beats per-camera transfers (measured)
-        if not hasattr(self, "_depth_host"):
-            self._depth_host = np.zeros((c, h, w), np.uint16)
-        self._depth_filled = [False] * c
-        self._intr = np.zeros((c, 4), np.float32)
-        self._tf_world = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
-        self._tf_crop = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
-        if not hasattr(self, "_seq_points"):
-            self._seq_points = np.zeros((self._stage_cap, 4), np.float32)
-            self._seq_idx = np.zeros((self._stage_cap,), np.int32)
-        self._seq_meta = []          # (sec, nsec, count, tf_move)
+        # flip to the other host packet and reset per-frame staging
+        # (reference clear(), gpu_depthmap_fusion.cpp:725-732 — keeps the
+        # rollbuffer, drops per-frame inputs)
+        self._pkt_flip ^= 1
+        self._pkt = self._packets[self._pkt_flip]
+        self._depth_filled = [False] * self.cfg.num_depth_streams
+        self._num_seqs = 0
         self._seq_fill = 0
 
     def add_depthmap(self, slot: int, depth_u16: np.ndarray,
@@ -315,11 +335,11 @@ class FusionEngine:
                      tf_crop: np.ndarray):
         np.copyto(self._depth_host[slot], depth_u16, casting="same_kind")
         self._depth_filled[slot] = True
-        self._intr[slot] = np.asarray(
+        self._pkt.intr[slot] = np.asarray(
             intrinsics.as_array() if hasattr(intrinsics, "as_array")
             else intrinsics, np.float32)
-        self._tf_world[slot] = tf_world
-        self._tf_crop[slot] = tf_crop
+        self._pkt.tf_world[slot] = tf_world
+        self._pkt.tf_crop[slot] = tf_crop
 
     def add_point_sequence(self, points_xyz: np.ndarray, sec: int, nsec: int,
                            tf_move: np.ndarray):
@@ -327,31 +347,18 @@ class FusionEngine:
         gpu_depthmap_fusion.cpp:747-796: copy xyz with w=1 into staging +
         append a PointSequence record). Overflowing points are dropped."""
         n = min(len(points_xyz), self._stage_cap - self._seq_fill)
-        if n <= 0 or len(self._seq_meta) >= self._seq_stage_cap:
+        if n <= 0 or self._num_seqs >= self._seq_stage_cap:
             return
+        pkt = self._pkt
         sl = slice(self._seq_fill, self._seq_fill + n)
         native.stage_points_xyz(np.asarray(points_xyz[:n], np.float32),
-                                self._seq_points[sl])
-        self._seq_idx[sl] = len(self._seq_meta)
-        self._seq_meta.append((sec, nsec, n, np.asarray(tf_move, np.float32)))
+                                pkt.seq_points[sl])
+        i = self._num_seqs
+        pkt.seq_idx[sl] = i
+        pkt.seq_sec[i], pkt.seq_nsec[i], pkt.seq_count[i] = sec, nsec, n
+        pkt.seq_tf[i] = np.asarray(tf_move, np.float32)
+        self._num_seqs += 1
         self._seq_fill += n
-
-    def _make_seq_batch_np(self) -> SequenceBatch:
-        """SequenceBatch of host numpy arrays (transferred in one batched
-        device_put together with the rest of the frame inputs)."""
-        s_cap = self._seq_stage_cap
-        sec = np.zeros(s_cap, np.int32)
-        nsec = np.zeros(s_cap, np.int32)
-        cnt = np.zeros(s_cap, np.int32)
-        tfs = np.tile(np.eye(4, dtype=np.float32), (s_cap, 1, 1))
-        for i, (s, ns, n, tf) in enumerate(self._seq_meta):
-            sec[i], nsec[i], cnt[i] = s, ns, n
-            tfs[i] = tf
-        return SequenceBatch(
-            points=self._seq_points, seq_idx=self._seq_idx,
-            seq_sec=sec, seq_nsec=nsec, seq_count=cnt, seq_tf_move=tfs,
-            num_points=np.int32(self._seq_fill),
-            num_seqs=np.int32(len(self._seq_meta)))
 
     # --- the frame step ---
     def process(self, now_seconds: float,
@@ -363,39 +370,37 @@ class FusionEngine:
             self.cfg.point_sequence_aggregation_timespan)
         min_sec, min_nsec = timeutil.decode(max(min_ns, 0))
         eye = np.eye(4, dtype=np.float32)
+        pkt = self._pkt
         for slot, filled in enumerate(self._depth_filled):
             if not filled:
                 self._depth_host[slot] = 0
-        # depth-link codec: compress on host (native, OpenMP), decode on
-        # device inside the fused step — the link moves ~3-5x fewer bytes
-        depth_field, depth_bits = self._depth_host, None
+        pkt.tf_world_move[:] = (eye if tf_world_move is None
+                                else tf_world_move)
+        pkt.tf_crop_move[:] = eye if tf_crop_move is None else tf_crop_move
+        # depth-link codec: compress on host (native, OpenMP) straight into
+        # the packet tail, decode on device inside the fused step — the
+        # link moves ~4x fewer bytes
+        depth_bits, exc_count = None, 0
         if self.cfg.depth_link_codec == "dpcm":
             encoded = native.depth_encode(
                 self._depth_host, self.cfg.depth_codec_max_exceptions,
-                allowed_bits=B_BUCKETS)
+                allowed_bits=B_BUCKETS,
+                out=dict(words=pkt.tail, row_first=pkt.row_first,
+                         exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz))
             if encoded is not None:
                 enc, depth_bits = encoded
-                depth_field = EncodedDepth(**enc)
-        # ONE batched transfer for the whole frame (depth included)
-        small_host = FrameInputs(
-            depth=depth_field,
-            intrinsics=self._intr,
-            tf_world=self._tf_world,
-            tf_crop=self._tf_crop,
-            seq_batch=self._make_seq_batch_np(),
-            tf_world_move=np.asarray(
-                eye if tf_world_move is None else tf_world_move,
-                np.float32),
-            tf_crop_move=np.asarray(
-                eye if tf_crop_move is None else tf_crop_move, np.float32),
-            now_sec=np.int32(now_sec), now_nsec=np.int32(now_nsec),
-            roll_min_sec=np.int32(min_sec),
-            roll_min_nsec=np.int32(min_nsec),
-        )
-        inp = jax.device_put(small_host)
+                exc_count = int(enc["exc_count"])
+        if depth_bits is None:  # raw u16 pairs in the tail
+            flat = self._depth_host.reshape(-1)
+            n_pairs = flat.size // 2
+            pkt.tail[:n_pairs] = flat[: n_pairs * 2].view(np.uint32)
+            if flat.size % 2:
+                pkt.tail[n_pairs] = np.uint32(flat[-1])
+        pkt.set_scalars(exc_count, now_sec, now_nsec, min_sec, min_nsec,
+                        self._seq_fill, self._num_seqs)
+        # ONE transfer for the whole frame (depth included)
+        inp = jax.device_put(pkt.view(depth_bits))
         self.state, out = self.step(self.state, inp, depth_bits=depth_bits)
-        # reset per-frame staging (reference clear(), cpp:725-732 — keeps
-        # the rollbuffer, drops per-frame inputs)
         self.clear()
         return out
 

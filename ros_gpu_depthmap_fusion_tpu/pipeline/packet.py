@@ -1,0 +1,214 @@
+"""Single-buffer frame transfer: every per-frame input packed into ONE
+contiguous u32 array.
+
+The reference uploads each SSBO separately over PCIe
+(``storage_buffer.h:58-63``); here the host->device link pays a fixed
+round-trip per `device_put` on top of ~40 MB/s bandwidth, so a frame's
+~20 small arrays (intrinsics, transforms, sequence batch, timestamps)
+would cost more in per-transfer overhead than in bytes. The packer lays
+all of them out in one u32 buffer together with the compressed (or raw)
+depth payload; the device side unpacks with slices + bitcasts that XLA
+fuses into the frame step.
+
+Layout (u32 words, all offsets static per config):
+
+    [0]                exc_count
+    [1..6]             now_sec, now_nsec, roll_min_sec, roll_min_nsec,
+                       num_seq_points, num_seqs
+    intr               C*4   f32 bits
+    tf_world           C*16  f32
+    tf_crop            C*16  f32
+    tf_world_move      16    f32
+    tf_crop_move       16    f32
+    seq_sec/nsec/count S each, i32
+    seq_tf_move        S*16  f32
+    seq_points         P*4   f32
+    seq_idx            P     i32
+    row_first          ceil(rows/2)  u16 pairs
+    exc_idx            cap_e u32
+    exc_zz             cap_e u32
+    tail               depth payload: DPCM words rows*wpr(B)  (bits != None)
+                       or raw u16 depth pairs ceil(rows*W/2)  (bits == None)
+
+The total length depends only on the (bucketed) bit width, so the jit
+cache holds one step variant per bucket. Two host buffers alternate so a
+frame can be staged while the previous one is still in flight.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+    B_BUCKETS, EncodedDepth, words_per_row)
+from ros_gpu_depthmap_fusion_tpu.ops.pack import unpack_depth_pairs
+
+
+class PacketLayout(NamedTuple):
+    c: int
+    h: int
+    w: int
+    rows: int
+    seq_cap: int        # S: staged sequence records
+    stage_cap: int      # P: staged sequence points
+    exc_cap: int
+    off_intr: int
+    off_tf_world: int
+    off_tf_crop: int
+    off_tf_world_move: int
+    off_tf_crop_move: int
+    off_seq_sec: int
+    off_seq_nsec: int
+    off_seq_count: int
+    off_seq_tf: int
+    off_seq_points: int
+    off_seq_idx: int
+    off_row_first: int
+    off_exc_idx: int
+    off_exc_zz: int
+    off_tail: int
+
+    @classmethod
+    def for_config(cls, cfg: FusionConfig, seq_cap: int,
+                   stage_cap: int) -> "PacketLayout":
+        c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
+        rows = c * h
+        e = cfg.depth_codec_max_exceptions
+        off = 7
+        f = {}
+        for name, size in (
+                ("intr", c * 4), ("tf_world", c * 16), ("tf_crop", c * 16),
+                ("tf_world_move", 16), ("tf_crop_move", 16),
+                ("seq_sec", seq_cap), ("seq_nsec", seq_cap),
+                ("seq_count", seq_cap), ("seq_tf", seq_cap * 16),
+                ("seq_points", stage_cap * 4), ("seq_idx", stage_cap),
+                ("row_first", (rows + 1) // 2),
+                ("exc_idx", e), ("exc_zz", e)):
+            f["off_" + name] = off
+            off += size
+        return cls(c=c, h=h, w=w, rows=rows, seq_cap=seq_cap,
+                   stage_cap=stage_cap, exc_cap=e, off_tail=off, **f)
+
+    def tail_words(self, bits: Optional[int]) -> int:
+        if bits is None:  # raw u16 depth pairs
+            return (self.rows * self.w + 1) // 2
+        return self.rows * words_per_row(self.w, bits)
+
+    def total_words(self, bits: Optional[int]) -> int:
+        return self.off_tail + self.tail_words(bits)
+
+    def max_words(self) -> int:
+        return max(self.total_words(None),
+                   self.total_words(max(B_BUCKETS)))
+
+
+class HostPacket:
+    """One reusable host-side packet buffer with named views."""
+
+    def __init__(self, layout: PacketLayout):
+        self.layout = layout
+        lo = layout
+        self.buf = np.zeros(layout.max_words(), np.uint32)
+        b = self.buf
+
+        def f32(off, n, shape):
+            return b[off:off + n].view(np.float32).reshape(shape)
+
+        def i32(off, n, shape=None):
+            v = b[off:off + n].view(np.int32)
+            return v.reshape(shape) if shape else v
+
+        self.intr = f32(lo.off_intr, lo.c * 4, (lo.c, 4))
+        self.tf_world = f32(lo.off_tf_world, lo.c * 16, (lo.c, 4, 4))
+        self.tf_crop = f32(lo.off_tf_crop, lo.c * 16, (lo.c, 4, 4))
+        self.tf_world_move = f32(lo.off_tf_world_move, 16, (4, 4))
+        self.tf_crop_move = f32(lo.off_tf_crop_move, 16, (4, 4))
+        self.seq_sec = i32(lo.off_seq_sec, lo.seq_cap)
+        self.seq_nsec = i32(lo.off_seq_nsec, lo.seq_cap)
+        self.seq_count = i32(lo.off_seq_count, lo.seq_cap)
+        self.seq_tf = f32(lo.off_seq_tf, lo.seq_cap * 16, (lo.seq_cap, 4, 4))
+        self.seq_points = f32(lo.off_seq_points, lo.stage_cap * 4,
+                              (lo.stage_cap, 4))
+        self.seq_idx = i32(lo.off_seq_idx, lo.stage_cap)
+        n_rf = (lo.rows + 1) // 2
+        self.row_first = b[lo.off_row_first:lo.off_row_first + n_rf].view(
+            np.uint16)[: lo.rows]
+        self.exc_idx = b[lo.off_exc_idx:lo.off_exc_idx + lo.exc_cap]
+        self.exc_zz = b[lo.off_exc_zz:lo.off_exc_zz + lo.exc_cap]
+        self.tail = b[lo.off_tail:]
+
+    def set_scalars(self, exc_count, now_sec, now_nsec, roll_min_sec,
+                    roll_min_nsec, num_seq_points, num_seqs):
+        self.buf[0] = np.uint32(exc_count)
+        hdr = np.array([now_sec, now_nsec, roll_min_sec, roll_min_nsec,
+                        num_seq_points, num_seqs], np.int32)
+        self.buf[1:7] = hdr.view(np.uint32)
+
+    def view(self, bits: Optional[int]) -> np.ndarray:
+        return self.buf[: self.layout.total_words(bits)]
+
+
+def _f32(b, off, n, shape):
+    return jax.lax.bitcast_convert_type(
+        b[off:off + n], jnp.float32).reshape(shape)
+
+
+def _i32(b, off, n):
+    return jax.lax.bitcast_convert_type(b[off:off + n], jnp.int32)
+
+
+def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
+                  bits: Optional[int]):
+    """Device-side unpack to the FrameInputs fields (fused into the step).
+
+    Returns the same structure :class:`pipeline.engine.FrameInputs` uses;
+    ``depth`` is an :class:`EncodedDepth` when ``bits`` is not None, else
+    the raw ``[C, H, W]`` u16 depth.
+    """
+    from ros_gpu_depthmap_fusion_tpu.pipeline.engine import (
+        FrameInputs, SequenceBatch)
+    lo = layout
+    b = packet
+    exc_count = _i32(b, 0, 1)[0]
+    hdr = _i32(b, 1, 6)
+    n_rf = (lo.rows + 1) // 2
+    rf_words = b[lo.off_row_first:lo.off_row_first + n_rf]
+    row_first = unpack_depth_pairs(rf_words)[: lo.rows].reshape(lo.c, lo.h)
+    if bits is None:
+        pairs = b[lo.off_tail:lo.off_tail + lo.tail_words(None)]
+        depth = unpack_depth_pairs(pairs)[: lo.rows * lo.w].reshape(
+            lo.c, lo.h, lo.w)
+    else:
+        wpr = words_per_row(lo.w, bits)
+        depth = EncodedDepth(
+            words=b[lo.off_tail:lo.off_tail + lo.rows * wpr].reshape(
+                lo.c, lo.h, wpr),
+            row_first=row_first,
+            exc_idx=_i32(b, lo.off_exc_idx, lo.exc_cap),
+            exc_zz=_i32(b, lo.off_exc_zz, lo.exc_cap),
+            exc_count=exc_count)
+    seq_batch = SequenceBatch(
+        points=_f32(b, lo.off_seq_points, lo.stage_cap * 4,
+                    (lo.stage_cap, 4)),
+        seq_idx=_i32(b, lo.off_seq_idx, lo.stage_cap),
+        seq_sec=_i32(b, lo.off_seq_sec, lo.seq_cap),
+        seq_nsec=_i32(b, lo.off_seq_nsec, lo.seq_cap),
+        seq_count=_i32(b, lo.off_seq_count, lo.seq_cap),
+        seq_tf_move=_f32(b, lo.off_seq_tf, lo.seq_cap * 16,
+                         (lo.seq_cap, 4, 4)),
+        num_points=hdr[4], num_seqs=hdr[5])
+    return FrameInputs(
+        depth=depth,
+        intrinsics=_f32(b, lo.off_intr, lo.c * 4, (lo.c, 4)),
+        tf_world=_f32(b, lo.off_tf_world, lo.c * 16, (lo.c, 4, 4)),
+        tf_crop=_f32(b, lo.off_tf_crop, lo.c * 16, (lo.c, 4, 4)),
+        seq_batch=seq_batch,
+        tf_world_move=_f32(b, lo.off_tf_world_move, 16, (4, 4)),
+        tf_crop_move=_f32(b, lo.off_tf_crop_move, 16, (4, 4)),
+        now_sec=hdr[0], now_nsec=hdr[1],
+        roll_min_sec=hdr[2], roll_min_nsec=hdr[3])

@@ -73,10 +73,9 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, i32p, f64p,    # tv_hull_start, tv_hull_xy, tv_shapes
         i32p, i64p, i32p, i64, f64p]  # comps, contours, cap, comp_shapes
     lib.fh_assemble_objects.restype = i32
-    lib.fh_depth_encode.argtypes = [u16p, i32, i32, i32, i32, i32p, i32,
-                                    u32p, u32p, u32p, u16p, u32p, u32p,
-                                    i64p]
-    lib.fh_depth_encode.restype = i32
+    lib.fh_depth_encode2.argtypes = [u16p, i32, i32, i32, i64, i32p, i32,
+                                     u32p, u32p, u16p, u32p, u32p, i64p]
+    lib.fh_depth_encode2.restype = i32
     lib.fh_segment_grid.argtypes = [u8p, i32, i32, i32, i32, i32, u16p,
                                     i32p, i32p, i64p, f64p, i32p, i32p]
     lib.fh_segment_grid.restype = i32
@@ -295,45 +294,54 @@ def segment_grid(occ_zyx: np.ndarray, max_labels: int, max_objects: int):
 
 
 def depth_encode(depth_u16: np.ndarray, max_exceptions: int = 8192,
-                 allowed_bits=None):
-    """Compress a ``[C, H, W]`` u16 depth block with the native masked
+                 allowed_bits=None, out=None):
+    """Compress a ``[C, H, W]`` u16 depth block with the native escape-zero
     row-DPCM encoder (see ops/depth_codec.py for format + decoder).
 
-    Returns ``(dict(words, mask_words, row_first, exc_idx, exc_zz,
-    exc_count), bits)`` or ``None`` when the native library is missing
-    (caller ships raw depth instead).
+    ``out`` optionally provides preallocated C-contiguous destinations
+    ``dict(words u32[rows*wpr_max], row_first u16[rows],
+    exc_idx u32[cap], exc_zz u32[cap])`` (e.g. views into the frame
+    packet) so the encoder writes in place.
+
+    Returns ``(dict(words, row_first, exc_idx, exc_zz, exc_count), bits)``
+    or ``None`` when the native library is missing or every allowed width
+    overflows the exception budget (caller ships raw depth instead).
     """
+    from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import B_BUCKETS
     lib = _load()
     if lib is None:
         return None
     d = np.ascontiguousarray(depth_u16, np.uint16)
     c, h, w = d.shape
     rows = c * h
-    wpr_max = (w * 17 + 31) // 32
-    mwpr = (w + 31) // 32
-    zz_tmp = np.empty(rows * w, np.uint32)
-    words = np.zeros(rows * wpr_max, np.uint32)
-    mask_words = np.zeros(rows * mwpr, np.uint32)
-    row_first = np.zeros(rows, np.uint16)
-    exc_idx = np.zeros(max_exceptions, np.uint32)
-    exc_zz = np.zeros(max_exceptions, np.uint32)
+    allowed = np.asarray(sorted(B_BUCKETS if allowed_bits is None
+                                else allowed_bits), np.int32)
+    wpr_max = (w * int(allowed[-1]) + 31) // 32
+    global _enc_scratch
+    if _enc_scratch is None or _enc_scratch.size < rows * w:
+        _enc_scratch = np.empty(rows * w, np.uint32)
+    zz_tmp = _enc_scratch[: rows * w]
+    if out is None:
+        out = dict(words=np.zeros(rows * wpr_max, np.uint32),
+                   row_first=np.zeros(rows, np.uint16),
+                   exc_idx=np.zeros(max_exceptions, np.uint32),
+                   exc_zz=np.zeros(max_exceptions, np.uint32))
     meta = np.zeros(2, np.int64)
-    allowed = np.asarray([] if allowed_bits is None else sorted(allowed_bits),
-                         np.int32)
-    bits = int(lib.fh_depth_encode(d.reshape(-1), c, h, w, max_exceptions,
-                                   allowed, len(allowed), zz_tmp, words,
-                                   mask_words, row_first, exc_idx, exc_zz,
-                                   meta))
+    bits = int(lib.fh_depth_encode2(
+        d.reshape(-1), c, h, w, max_exceptions, allowed, len(allowed),
+        zz_tmp, out["words"], out["row_first"], out["exc_idx"],
+        out["exc_zz"], meta))
     if bits < 0:
         return None
     wpr = max(1, int(meta[1]))
     return dict(
-        words=words[: rows * max(1, int(meta[1]))].reshape(c, h, wpr)
-        if meta[1] else np.zeros((c, h, 1), np.uint32),
-        mask_words=mask_words.reshape(c, h, mwpr),
-        row_first=row_first.reshape(c, h),
-        exc_idx=exc_idx, exc_zz=exc_zz,
+        words=out["words"][: rows * wpr].reshape(c, h, wpr),
+        row_first=out["row_first"].reshape(c, h),
+        exc_idx=out["exc_idx"], exc_zz=out["exc_zz"],
         exc_count=np.int32(meta[0])), bits
+
+
+_enc_scratch = None
 
 
 def stage_points_xyz(xyz: np.ndarray, out: np.ndarray) -> int:

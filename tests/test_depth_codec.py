@@ -78,12 +78,32 @@ def test_native_encoder_matches_reference():
     enc_p, bits_p = DC.encode_depth_reference(d)
     assert bits_n == bits_p
     np.testing.assert_array_equal(enc_n["words"], enc_p["words"])
-    np.testing.assert_array_equal(enc_n["mask_words"], enc_p["mask_words"])
     np.testing.assert_array_equal(enc_n["row_first"], enc_p["row_first"])
     nexc = int(enc_n["exc_count"])
     assert nexc == len(enc_p["exc_idx"])
     np.testing.assert_array_equal(enc_n["exc_idx"][:nexc], enc_p["exc_idx"])
     np.testing.assert_array_equal(enc_n["exc_zz"][:nexc], enc_p["exc_zz"])
+
+
+def test_reference_encoder_roundtrip_no_native():
+    """v2 format sanity without the native lib: python encoder -> jitted
+    decoder, exercising holes + escape code + exceptions."""
+    rng = np.random.default_rng(7)
+    d = (2000 + np.cumsum(rng.integers(-3, 4, (2, 8, 40)), axis=-1)
+         ).astype(np.uint16)
+    d[rng.random(d.shape) < 0.1] = 0
+    d[0, 2, 17] = 65000  # forces an exception at small B
+    cap = 64
+    enc, bits = DC.encode_depth_reference(d, max_exceptions=cap)
+    pad = lambda a: np.pad(a, (0, cap - len(a)))
+    enc_j = DC.EncodedDepth(
+        words=jnp.asarray(enc["words"]),
+        row_first=jnp.asarray(enc["row_first"]),
+        exc_idx=jnp.asarray(pad(enc["exc_idx"]).astype(np.int32)),
+        exc_zz=jnp.asarray(pad(enc["exc_zz"]).astype(np.int32)),
+        exc_count=jnp.int32(len(enc["exc_idx"])))
+    dec = np.asarray(DC.decode_depth(enc_j, 8, 40, bits))
+    np.testing.assert_array_equal(dec, d)
 
 
 @requires_native

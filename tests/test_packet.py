@@ -1,0 +1,85 @@
+"""Frame-packet roundtrip: HostPacket staging -> device unpack_packet must
+reproduce every FrameInputs field bit-exactly (single-transfer path)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+from ros_gpu_depthmap_fusion_tpu.ops import depth_codec as DC
+from ros_gpu_depthmap_fusion_tpu.pipeline.packet import (
+    HostPacket, PacketLayout, unpack_packet)
+
+
+def _cfg():
+    return FusionConfig(
+        num_depth_streams=2, depth_height=8, depth_width=40,
+        num_point_sequences=1,
+        crop_min=(-6, -6, -6), crop_max=(6, 6, 6),
+        voxel_min=(-6, -6, -6), voxel_max=(6, 6, 6),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=64, max_points_per_sequence=16,
+        depth_codec_max_exceptions=32)
+
+
+def test_packet_roundtrip_encoded_and_raw():
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    layout = PacketLayout.for_config(cfg, seq_cap=4, stage_cap=16)
+    pkt = HostPacket(layout)
+
+    depth = (2000 + np.cumsum(rng.integers(-3, 4, (2, 8, 40)), axis=-1)
+             ).astype(np.uint16)
+    depth[rng.random(depth.shape) < 0.1] = 0
+
+    pkt.intr[:] = rng.standard_normal((2, 4)).astype(np.float32)
+    pkt.tf_world[:] = rng.standard_normal((2, 4, 4)).astype(np.float32)
+    pkt.tf_crop[:] = rng.standard_normal((2, 4, 4)).astype(np.float32)
+    pkt.tf_world_move[:] = rng.standard_normal((4, 4)).astype(np.float32)
+    pkt.tf_crop_move[:] = rng.standard_normal((4, 4)).astype(np.float32)
+    pkt.seq_points[:] = rng.standard_normal((16, 4)).astype(np.float32)
+    pkt.seq_idx[:] = rng.integers(0, 4, 16)
+    pkt.seq_sec[:] = [10, 11, 12, 13]
+    pkt.seq_nsec[:] = [1, 2, 3, 4]
+    pkt.seq_count[:] = [5, 6, 0, 0]
+    pkt.seq_tf[:] = rng.standard_normal((4, 4, 4)).astype(np.float32)
+
+    # encoded tail via the python reference encoder
+    enc, bits = DC.encode_depth_reference(depth, max_exceptions=32)
+    wpr = enc["words"].shape[-1]
+    pkt.tail[: 16 * wpr] = enc["words"].reshape(-1)
+    pkt.row_first[:] = enc["row_first"].reshape(-1)
+    nexc = len(enc["exc_idx"])
+    pkt.exc_idx[:nexc] = enc["exc_idx"]
+    pkt.exc_zz[:nexc] = enc["exc_zz"]
+    pkt.set_scalars(nexc, 100, 200, 50, 60, 11, 2)
+
+    inp = jax.jit(lambda p: unpack_packet(p, layout, bits))(
+        jnp.asarray(pkt.view(bits)))
+    dec = np.asarray(DC.decode_depth(inp.depth, 8, 40, bits))
+    np.testing.assert_array_equal(dec, depth)
+    np.testing.assert_array_equal(np.asarray(inp.intrinsics), pkt.intr)
+    np.testing.assert_array_equal(np.asarray(inp.tf_world), pkt.tf_world)
+    np.testing.assert_array_equal(np.asarray(inp.tf_crop), pkt.tf_crop)
+    np.testing.assert_array_equal(np.asarray(inp.tf_world_move),
+                                  pkt.tf_world_move)
+    np.testing.assert_array_equal(np.asarray(inp.tf_crop_move),
+                                  pkt.tf_crop_move)
+    sb = inp.seq_batch
+    np.testing.assert_array_equal(np.asarray(sb.points), pkt.seq_points)
+    np.testing.assert_array_equal(np.asarray(sb.seq_idx), pkt.seq_idx)
+    np.testing.assert_array_equal(np.asarray(sb.seq_sec), pkt.seq_sec)
+    np.testing.assert_array_equal(np.asarray(sb.seq_nsec), pkt.seq_nsec)
+    np.testing.assert_array_equal(np.asarray(sb.seq_count), pkt.seq_count)
+    np.testing.assert_array_equal(np.asarray(sb.seq_tf_move), pkt.seq_tf)
+    assert int(sb.num_points) == 11 and int(sb.num_seqs) == 2
+    assert (int(inp.now_sec), int(inp.now_nsec)) == (100, 200)
+    assert (int(inp.roll_min_sec), int(inp.roll_min_nsec)) == (50, 60)
+
+    # raw tail
+    flat = depth.reshape(-1)
+    pkt.tail[: flat.size // 2] = flat.view(np.uint32)
+    inp2 = jax.jit(lambda p: unpack_packet(p, layout, None))(
+        jnp.asarray(pkt.view(None)))
+    np.testing.assert_array_equal(np.asarray(inp2.depth), depth)
