@@ -1,0 +1,110 @@
+"""Attribute the steady-state frame time: put-only vs put+step vs
+encode-only vs full loop, all hard-synced only at the end of each loop.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/pipeline_attrib.py
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from ros_gpu_depthmap_fusion_tpu.utils.profiling import hard_sync
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.pipeline.engine import FusionEngine
+    from ros_gpu_depthmap_fusion_tpu.utils import native
+    from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import B_BUCKETS
+
+    H, W, C = 480, 848, 8
+    cfg = FusionConfig(
+        num_depth_streams=C, depth_height=H, depth_width=W,
+        num_point_sequences=1,
+        crop_min=(-20, -20, 0), crop_max=(20, 20, 2.5),
+        voxel_min=(-20, -20, 0), voxel_max=(20, 20, 2.5),
+        voxel_size=(0.1, 0.1, 0.12), voxel_occupancy_lifetime=10,
+        rollbuffer_point_capacity=131072, max_points_per_sequence=4096,
+        emit_raw_points=False)
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(W, H)
+    rng = np.random.default_rng(0)
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    base = 2500 + 200 * np.sin(u / 150.0) + 150 * np.cos(v / 120.0)
+    depth = (base + rng.standard_normal((H, W))).astype(np.uint16)
+    depth[rng.random((H, W)) < 0.01] = 0
+    eye = np.eye(4, dtype=np.float32)
+
+    def stage():
+        for i in range(C):
+            eng.add_depthmap(i, depth, intr, eye, eye)
+
+    # one full frame to compile + get a packed packet
+    stage()
+    out = eng.process(10.0)
+    hard_sync(out.fused_count)
+    stage()
+    # hand-roll the packing so we can reuse the bytes
+    pkt = eng._pkt
+    for slot in range(C):
+        pass
+    enc = native.depth_encode(
+        eng._depth_host, cfg.depth_codec_max_exceptions,
+        allowed_bits=B_BUCKETS,
+        out=dict(words=pkt.tail, row_first=pkt.row_first,
+                 exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz))
+    _, bits = enc
+    pkt.set_scalars(int(enc[0]["exc_count"]), 10, 0, 8, 0, 0, 0)
+    packet_np = pkt.view(bits).copy()
+    print(f"packet: {packet_np.nbytes/1e6:.2f} MB, bits={bits}")
+
+    N = 30
+
+    def loop(name, body):
+        body()  # warm
+        hard_sync(eng.state.frame_index)
+        t0 = time.perf_counter()
+        for _ in range(N):
+            r = body()
+        if r is not None:
+            hard_sync(r)
+        else:
+            hard_sync(eng.state.frame_index)
+        dt = (time.perf_counter() - t0) / N
+        print(f"{name:32s} {dt*1e3:8.2f} ms/frame -> {1/dt:6.1f} fps")
+        return dt
+
+    # 1. put-only
+    loop("put packet only", lambda: jax.device_put(packet_np))
+
+    # 2. put + step
+    def put_step():
+        inp = jax.device_put(packet_np)
+        eng.state, out = eng.step(eng.state, inp, depth_bits=bits)
+        return out.fused_count
+    loop("put + device step", put_step)
+
+    # 3. encode-only (host)
+    scratch = dict(words=np.zeros_like(pkt.tail),
+                   row_first=np.zeros_like(pkt.row_first),
+                   exc_idx=np.zeros_like(pkt.exc_idx),
+                   exc_zz=np.zeros_like(pkt.exc_zz))
+    loop("host encode only", lambda: native.depth_encode(
+        eng._depth_host, cfg.depth_codec_max_exceptions,
+        allowed_bits=B_BUCKETS, out=scratch, guess_bits=bits) and None)
+
+    # 4. stage + encode (host only)
+    loop("host stage + encode", lambda: (stage(), native.depth_encode(
+        eng._depth_host, cfg.depth_codec_max_exceptions,
+        allowed_bits=B_BUCKETS, out=scratch, guess_bits=bits)) and None)
+
+    # 5. full engine frame
+    def full():
+        stage()
+        return eng.process(11.0).fused_count
+    loop("full frame (engine)", full)
+
+
+if __name__ == "__main__":
+    main()

@@ -889,25 +889,88 @@ static inline int fh_bits_needed(uint32_t v) {
 
 static const uint32_t FH_HOLE = 0xFFFFFFFFu;  // zz_tmp sentinel for depth==0
 
+// Streaming bit packer for one row: shift B-bit codes into a 64-bit
+// accumulator, flush 32-bit words as they fill (write-only, no RMW).
+struct FhRowPacker {
+  uint32_t* out;
+  uint64_t acc = 0;
+  int32_t nbits = 0;
+  explicit FhRowPacker(uint32_t* o) : out(o) {}
+  inline void push(uint32_t code, int32_t B) {
+    acc |= (uint64_t)code << nbits;
+    nbits += B;
+    if (nbits >= 32) {
+      *out++ = (uint32_t)acc;
+      acc >>= 32;
+      nbits -= 32;
+    }
+  }
+  inline void flush() {
+    if (nbits > 0) *out++ = (uint32_t)acc;
+  }
+};
+
+// Pack one row of zigzag codes at width B; exceptions (zz >= ESC) are
+// encoded as 0 and appended to `exc` as (flat_index << 32 | zz).
+static inline void fh_pack_row(const uint32_t* zrow, int64_t r, int32_t W,
+                               int32_t B, int32_t wpr, uint32_t* words,
+                               std::vector<uint64_t>& exc) {
+  const uint32_t esc = (1u << B) - 1;
+  FhRowPacker pk(words + r * wpr);
+  for (int32_t x = 0; x < W; ++x) {
+    uint32_t z = zrow[x];
+    if (z == FH_HOLE) {
+      z = esc;
+    } else if (z >= esc) {
+      exc.push_back(((uint64_t)(r * W + x) << 32) | z);
+      z = 0;
+    }
+    pk.push(z, B);
+  }
+  pk.flush();
+}
+
 // Returns chosen bit width B (1..17) or -1 when the overflow count exceeds
 // max_exc at every allowed width. Caller allocates: zz_tmp u32[C*H*W]
 // scratch, words u32[C*H*ceil(W*B/32)] at the largest allowed B (rows use
 // stride ceil(W*B/32) of the CHOSEN B), row_first u16[C*H],
 // exc_idx/exc_zz u32[max_exc]. out_meta[0] = exception count,
 // out_meta[1] = words-per-row at the chosen B.
+//
+// guess_B: the expected width (e.g. last frame's — depth streams are
+// temporally stable). When in the allowed list, rows are packed at
+// guess_B during the DPCM pass; if the histogram then confirms guess_B,
+// the packing pass is skipped entirely.
 int32_t fh_depth_encode2(const uint16_t* depth, int32_t C, int32_t H,
                          int32_t W, int64_t max_exc,
                          const int32_t* allowed_bits, int32_t n_allowed,
+                         int32_t guess_B,
                          uint32_t* zz_tmp, uint32_t* words,
                          uint16_t* row_first,
                          uint32_t* exc_idx, uint32_t* exc_zz,
                          int64_t* out_meta) {
   const int64_t rows = (int64_t)C * H;
+  bool guess_allowed = false;
+  for (int32_t i = 0; i < n_allowed; ++i)
+    if (allowed_bits[i] == guess_B) guess_allowed = true;
+  const int32_t gwpr =
+      guess_allowed ? (int32_t)(((int64_t)W * guess_B + 31) / 32) : 0;
   // pass 1: per-row DPCM -> zigzag deltas (holes -> sentinel) + histogram
-  // of bits_needed(zz + 1); zz >= 2^B - 1  <=>  bits_needed(zz+1) > B
+  // of bits_needed(zz + 1)  (zz >= 2^B - 1  <=>  bits_needed(zz+1) > B),
+  // speculatively packing at guess_B as we go
   int64_t hist[20] = {0};
+  std::vector<std::vector<uint64_t>> exc_parts;
 #pragma omp parallel
   {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+    const int nth = omp_get_num_threads();
+#else
+    const int tid = 0, nth = 1;
+#endif
+#pragma omp single
+    exc_parts.assign(nth, {});
+    std::vector<uint64_t>& mine = exc_parts[tid];
     int64_t lhist[20] = {0};
 #pragma omp for nowait
     for (int64_t r = 0; r < rows; ++r) {
@@ -915,21 +978,32 @@ int32_t fh_depth_encode2(const uint16_t* depth, int32_t C, int32_t H,
       uint32_t* zrow = zz_tmp + r * W;
       int32_t prev = -1;
       uint16_t first = 0;
+      const uint32_t gesc = guess_allowed ? (1u << guess_B) - 1 : 0;
+      FhRowPacker pk(words + r * gwpr);
       for (int32_t x = 0; x < W; ++x) {
         uint16_t d = row[x];
+        uint32_t z, code;
         if (d == 0) {
-          zrow[x] = FH_HOLE;
-          continue;
+          z = FH_HOLE;
+          code = gesc;
+        } else {
+          z = 0;
+          if (prev < 0)
+            first = d;  // delta 0 by construction
+          else
+            z = fh_zigzag((int32_t)d - prev);
+          prev = d;
+          lhist[fh_bits_needed(z + 1)]++;
+          code = z;
+          if (guess_allowed && z >= gesc) {
+            mine.push_back(((uint64_t)(r * W + x) << 32) | z);
+            code = 0;
+          }
         }
-        uint32_t z = 0;
-        if (prev < 0)
-          first = d;  // delta 0 by construction
-        else
-          z = fh_zigzag((int32_t)d - prev);
-        prev = d;
         zrow[x] = z;
-        lhist[fh_bits_needed(z + 1)]++;
+        if (guess_allowed) pk.push(code, guess_B);
       }
+      if (guess_allowed) pk.flush();
       row_first[r] = first;
     }
 #pragma omp critical
@@ -949,40 +1023,23 @@ int32_t fh_depth_encode2(const uint16_t* depth, int32_t C, int32_t H,
   }
   if (B < 0) return -1;
   const int32_t wpr = (int32_t)(((int64_t)W * B + 31) / 32);
-  const uint32_t esc = (1u << B) - 1;  // hole marker code
-  // pass 2: pack B-bit fields (exceptions -> 0 in stream, true value to
-  // the per-thread lists, merged + index-sorted for determinism)
-  std::vector<std::vector<uint64_t>> exc_parts;
+  if (!(guess_allowed && B == guess_B)) {
+    // guess missed: repack from the zigzag scratch at the chosen width
+    exc_parts.clear();
 #pragma omp parallel
-  {
+    {
 #ifdef _OPENMP
-    const int tid = omp_get_thread_num();
-    const int nth = omp_get_num_threads();
+      const int tid = omp_get_thread_num();
+      const int nth = omp_get_num_threads();
 #else
-    const int tid = 0, nth = 1;
+      const int tid = 0, nth = 1;
 #endif
 #pragma omp single
-    exc_parts.resize(nth);
-    std::vector<uint64_t>& mine = exc_parts[tid];
+      exc_parts.assign(nth, {});
+      std::vector<uint64_t>& mine = exc_parts[tid];
 #pragma omp for
-    for (int64_t r = 0; r < rows; ++r) {
-      const uint32_t* zrow = zz_tmp + r * W;
-      uint32_t* wrow = words + r * wpr;
-      for (int32_t i = 0; i < wpr; ++i) wrow[i] = 0;
-      for (int32_t x = 0; x < W; ++x) {
-        uint32_t z = zrow[x];
-        if (z == FH_HOLE) {
-          z = esc;
-        } else if (z >= esc) {
-          mine.push_back(((uint64_t)(r * W + x) << 32) | z);
-          z = 0;
-        }
-        const int64_t bitpos = (int64_t)x * B;
-        const int64_t wi = bitpos >> 5;
-        const int32_t sh = (int32_t)(bitpos & 31);
-        wrow[wi] |= z << sh;
-        if (sh + B > 32) wrow[wi + 1] |= z >> (32 - sh);
-      }
+      for (int64_t r = 0; r < rows; ++r)
+        fh_pack_row(zz_tmp + r * W, r, W, B, wpr, words, mine);
     }
   }
   std::vector<uint64_t> exc;

@@ -60,6 +60,11 @@ class FusionConfig:
     voxel_max: Tuple[float, float, float] = (+1.0, +1.0, +1.0)
     voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
     voxel_enable_average: bool = True   # average-mode vs occupied-cell-centers
+    # "packed" (default): per-cell means via a 2-operand sort with
+    # cell-relative 10/10/12-bit quantized coordinates (error <=
+    # cell/2048 per axis, ~0.05 mm at deployment grids; ~25% faster on
+    # TPU). "exact": bit-exact f32 means via a 4-operand sort.
+    voxel_mean_mode: str = "packed"
     voxel_occupancy_lifetime: int = 1   # frames; launch default 10
     # static cap on emitted voxelized points (= max simultaneously occupied
     # cells; overflow drops cells and caps the count — explicit policy

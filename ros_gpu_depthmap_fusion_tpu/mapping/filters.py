@@ -217,6 +217,57 @@ class Orientation2DFilter:
         return np.array([[c, s], [s, c]], dtype=np.float64)
 
 
+class ConstLocalVelocityFilter:
+    """Constant-velocity filter whose velocity state lives in the BODY
+    frame (const_local_velocity_filter.h:5-129; unused by the reference
+    engine — RotatedRectFilter picks the global variant at
+    rotated_rect_filter.h:19,44 — but part of the library surface).
+
+    The observed world-frame velocity is rotated into the body frame by an
+    :class:`Orientation2DFilter` before filtering; predictions rotate the
+    filtered body velocity back to world.
+    """
+
+    def __init__(self, orientation_filter: "Orientation2DFilter" = None,
+                 **gains):
+        self.orientation_filter = orientation_filter or Orientation2DFilter()
+        self.filter = ConstGlobalVelocityFilter(dim=2, **gains)
+        self.values = np.zeros(2, dtype=np.float64)
+        self.local_velocity = np.zeros(2, dtype=np.float64)
+
+    def _rot(self, sign: float) -> np.ndarray:
+        a = sign * float(self.orientation_filter.orientation[0])
+        c, s = math.cos(a), math.sin(a)
+        return np.array([[c, -s], [s, c]], dtype=np.float64)
+
+    def correct(self, dt: float, observed_values):
+        observed_values = np.asarray(observed_values, dtype=np.float64)
+        g = self.filter
+        if g.has_last_measurement and abs(dt) > 1e-6:
+            v_world = (observed_values - g.last_measurement) / dt
+            v_local = self._rot(-1.0) @ v_world
+            g.velocity_filter.correct(dt, v_local)
+            self.local_velocity = g.velocity_filter.values.copy()
+        g.value_filter.correct(dt, observed_values)
+        g.values = g.value_filter.values.copy()
+        self.values = g.values.copy()
+        g.last_measurement = observed_values.copy()
+        g.has_last_measurement = True
+
+    def predict(self, dt: float):
+        g = self.filter
+        if g.has_last_measurement:
+            v_world = self._rot(+1.0) @ self.local_velocity
+            predicted = g.values + v_world * dt
+            g.value_filter.predict(dt, predicted)
+            g.values = g.value_filter.values.copy()
+            self.values = g.values.copy()
+
+    def observe(self, dt: float, observed_values):
+        self.predict(dt)
+        self.correct(dt, observed_values)
+
+
 class RollPitchYawFilter:
     """Three independent wrap-aware angle filters (roll_pitch_yaw_filter.h;
     unused by the reference engine but part of the library surface)."""

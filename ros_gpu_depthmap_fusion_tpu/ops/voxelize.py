@@ -100,6 +100,84 @@ def voxelize_average(points: jnp.ndarray,
     return out_points, count
 
 
+def voxelize_average_packed(points: jnp.ndarray,
+                            cell_indices: jnp.ndarray,
+                            mask: jnp.ndarray,
+                            grid: VoxelGrid,
+                            capacity: int,
+                            return_occupancy: bool = False):
+    """Mean point per occupied cell with a PACKED sort payload.
+
+    The exact path (:func:`voxelize_average`) sorts 4 operands
+    (key, x, y, z); on TPU ``lax.sort`` is a bitonic network whose cost
+    scales with operand bytes (measured v5e, 3.4M rows: 4-op 19.0 ms vs
+    2-op 14.2 ms). Here each point's coordinates are quantized RELATIVE TO
+    ITS CELL CORNER into one u32 (10/10/12 bits -> half-step error of at
+    most cell_size/2048 in x/y and /8192 in z, ~0.05 mm at the 0.1 m
+    deployment grids — an order below depth-sensor noise), so the sort
+    carries (key, packed) only. Accumulation and the final
+    ``corner + (mean_q + 0.5)*cell/2^b`` reconstruction stay f32 and the
+    result is deterministic.
+
+    Caveat: points clamped onto border cells from OUTSIDE the grid (crop
+    box larger than the voxel box, or crop frame != world frame) have
+    out-of-cell fractions and are clamped to the cell; interior points are
+    within the stated bound. The engine selects this path via
+    ``FusionConfig.voxel_mean_mode = "packed"`` (the default) and the
+    exact path via ``"exact"``.
+    """
+    num_cells = grid.num_cells
+    n = mask.shape[0]
+    sentinel = jnp.int32(num_cells)
+    key = jnp.where(mask, cell_indices.astype(jnp.int32), sentinel)
+
+    corner = grid.world_coord_of_coord(
+        grid.grid_coord_of_index(cell_indices), dtype=points.dtype)
+    cs = jnp.asarray(grid.cell_size, points.dtype)
+    bits = (10, 10, 12)
+    qs = []
+    for a, b in enumerate(bits):
+        scale = jnp.asarray(1 << b, points.dtype)
+        f = (points[:, a] - corner[:, a]) / cs[a]
+        qs.append(jnp.clip(jnp.floor(f * scale), 0, (1 << b) - 1)
+                  .astype(jnp.uint32))
+    packed = qs[0] | (qs[1] << jnp.uint32(10)) | (qs[2] << jnp.uint32(20))
+
+    ks, ps = jax.lax.sort((key, packed), num_keys=1)
+    valid = ks < sentinel
+    acc = jnp.stack(
+        [(ps & jnp.uint32(1023)).astype(points.dtype),
+         ((ps >> jnp.uint32(10)) & jnp.uint32(1023)).astype(points.dtype),
+         (ps >> jnp.uint32(20)).astype(points.dtype),
+         valid.astype(points.dtype)], axis=-1)
+    s = 1
+    while s < n:
+        shifted = jnp.pad(acc[:-s], ((s, 0), (0, 0)))
+        same = jnp.pad(ks[s:] == ks[:-s], (s, 0))
+        acc = acc + jnp.where(same[:, None], shifted, 0.0)
+        s *= 2
+    is_end = (jnp.concatenate([ks[1:] != ks[:-1], jnp.array([True])])
+              & valid)
+    mean_q = acc[:, :3] / jnp.maximum(acc[:, 3:4], 1.0)
+    (out_q, out_cells), count = compact_multi((mean_q, ks), is_end,
+                                              capacity)
+    w_col = (jnp.arange(capacity, dtype=jnp.int32) < count).astype(
+        points.dtype)
+    out_corner = grid.world_coord_of_coord(
+        grid.grid_coord_of_index(out_cells), dtype=points.dtype)
+    inv_scale = cs / jnp.asarray([float(1 << b) for b in bits],
+                                 points.dtype)
+    out_means = out_corner + (out_q + 0.5) * inv_scale
+    out_means = out_means * w_col[:, None]
+    out_points = jnp.concatenate([out_means, w_col[:, None]], axis=-1)
+    if return_occupancy:
+        target = jnp.where(w_col > 0, out_cells, sentinel)
+        occ = jnp.zeros((num_cells,), jnp.int32)
+        occ = occ.at[target].max(1, mode="drop")
+        return out_points, count, occ
+    return out_points, count
+
+
 def voxelize_occupied(occupancy: jnp.ndarray,
                       grid: VoxelGrid,
                       capacity: int,

@@ -51,7 +51,7 @@ from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import crop_points, compact
 from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
     scatter_occupancy, update_historic_occupancy, occupancy_to_u8)
 from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
-    voxelize_average, voxelize_occupied)
+    voxelize_average, voxelize_average_packed, voxelize_occupied)
 from ros_gpu_depthmap_fusion_tpu.state import rollbuffer as rbmod
 from ros_gpu_depthmap_fusion_tpu.state.rollbuffer import RollBuffer
 from ros_gpu_depthmap_fusion_tpu.utils import native
@@ -212,7 +212,10 @@ def fusion_step(state: EngineState,
     fresh = None
     if cfg.enable_voxel_filter:
         if cfg.voxel_enable_average:
-            fused_points, fused_count, fresh = voxelize_average(
+            vox_fn = (voxelize_average_packed
+                      if cfg.voxel_mean_mode == "packed"
+                      else voxelize_average)
+            fused_points, fused_count, fresh = vox_fn(
                 vox_points, cell_ids, live, grid, output_capacity,
                 return_occupancy=True)
         else:
@@ -317,6 +320,7 @@ class FusionEngine:
         self._pkt_flip = 0
         c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
         self._depth_host = np.zeros((c, h, w), np.uint16)
+        self._last_bits = -1  # codec width guess (temporally stable)
         self.clear()
 
     # --- ingestion (reference addDepthmap / addPointSequence) ---
@@ -386,10 +390,12 @@ class FusionEngine:
                 self._depth_host, self.cfg.depth_codec_max_exceptions,
                 allowed_bits=B_BUCKETS,
                 out=dict(words=pkt.tail, row_first=pkt.row_first,
-                         exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz))
+                         exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz),
+                guess_bits=self._last_bits)
             if encoded is not None:
                 enc, depth_bits = encoded
                 exc_count = int(enc["exc_count"])
+                self._last_bits = depth_bits
         if depth_bits is None:  # raw u16 pairs in the tail
             flat = self._depth_host.reshape(-1)
             n_pairs = flat.size // 2

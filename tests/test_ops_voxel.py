@@ -83,6 +83,34 @@ def test_voxelize_average_matches_oracle():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_voxelize_average_packed_error_bound():
+    """Packed (quantized-frac) means must match the exact oracle within
+    the documented half-step bound: cell/2048 in x/y, cell/8192 in z —
+    same cells, same counts, same order."""
+    from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
+        voxelize_average_packed)
+    rng = np.random.default_rng(7)
+    # in-bounds points: out-of-bounds points are clamped onto border cells
+    # and their quantized fractions clamp into the cell (documented caveat
+    # of packed mode; the engine's deployment configs crop to the grid)
+    xyz = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    xyz[:, :2] = xyz[:, :2] * 2 - 1
+    pts = transforms.to_homogeneous(xyz)
+    mask = rng.random(500) < 0.85
+    ids = GRID.cell_index_clamped(jnp.asarray(pts[:, :3]))
+    outp, countp = voxelize_average_packed(
+        jnp.asarray(pts), ids, jnp.asarray(mask), GRID, capacity=500)
+    want, cells = oracles.voxelize_average_oracle(
+        pts, np.asarray(ids), mask)
+    assert int(countp) == want.shape[0]
+    got = np.asarray(outp)[: int(countp)]
+    cs = np.asarray(GRID.cell_size)
+    bound = cs / np.array([2048.0, 2048.0, 8192.0]) + 1e-6
+    err = np.abs(got[:, :3] - want[:, :3])
+    assert (err <= bound).all(), err.max(axis=0)
+    np.testing.assert_array_equal(got[:, 3], want[:, 3])
+
+
 def test_voxelize_occupied_centers():
     g = VoxelGrid(lower=(0, 0, 0), upper=(2, 2, 1), cell_size=(1, 1, 1))
     occ = jnp.asarray([0, 1, 0, 1], jnp.int32)

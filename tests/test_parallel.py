@@ -27,6 +27,9 @@ def _cfg(num_cams=4):
         rollbuffer_point_capacity=128, rollbuffer_seq_capacity=8,
         max_points_per_sequence=64,
         voxel_occupancy_lifetime=3,
+        # the sharded step computes exact f32 means (psum of scatter-adds),
+        # so compare against the single-chip exact path
+        voxel_mean_mode="exact",
     )
 
 

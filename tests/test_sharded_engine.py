@@ -17,7 +17,10 @@ def _cfg():
         voxel_min=(-6, -6, -6), voxel_max=(6, 6, 6),
         voxel_size=(0.5, 0.5, 0.5), voxel_occupancy_lifetime=3,
         rollbuffer_point_capacity=64, rollbuffer_seq_capacity=8,
-        max_points_per_sequence=32)
+        max_points_per_sequence=32,
+        # the sharded step computes exact f32 means (psum of scatter-adds),
+        # so compare against the single-chip exact path
+        voxel_mean_mode="exact")
 
 
 def test_sharded_engine_matches_single():
