@@ -358,7 +358,6 @@ class FusionEngine:
         native.stage_points_xyz(np.asarray(points_xyz[:n], np.float32),
                                 pkt.seq_points[sl])
         i = self._num_seqs
-        pkt.seq_idx[sl] = i
         pkt.seq_sec[i], pkt.seq_nsec[i], pkt.seq_count[i] = sec, nsec, n
         pkt.seq_tf[i] = np.asarray(tf_move, np.float32)
         self._num_seqs += 1

@@ -23,8 +23,9 @@ Layout (u32 words, all offsets static per config):
     seq_sec/nsec/count S each, i32
     seq_tf_move        S*16  f32
     seq_points         P*4   f32
-    seq_idx            P     i32
     row_first          ceil(rows/2)  u16 pairs
+    (per-point seq_idx is NOT shipped: staging appends sequences in
+    order, so it is recomputed on device from the cumulative seq_count)
     exc_idx            cap_e u32
     exc_zz             cap_e u32
     tail               depth payload: DPCM words rows*wpr(B)  (bits != None)
@@ -67,7 +68,6 @@ class PacketLayout(NamedTuple):
     off_seq_count: int
     off_seq_tf: int
     off_seq_points: int
-    off_seq_idx: int
     off_row_first: int
     off_exc_idx: int
     off_exc_zz: int
@@ -86,7 +86,7 @@ class PacketLayout(NamedTuple):
                 ("tf_world_move", 16), ("tf_crop_move", 16),
                 ("seq_sec", seq_cap), ("seq_nsec", seq_cap),
                 ("seq_count", seq_cap), ("seq_tf", seq_cap * 16),
-                ("seq_points", stage_cap * 4), ("seq_idx", stage_cap),
+                ("seq_points", stage_cap * 4),
                 ("row_first", (rows + 1) // 2),
                 ("exc_idx", e), ("exc_zz", e)):
             f["off_" + name] = off
@@ -134,7 +134,6 @@ class HostPacket:
         self.seq_tf = f32(lo.off_seq_tf, lo.seq_cap * 16, (lo.seq_cap, 4, 4))
         self.seq_points = f32(lo.off_seq_points, lo.stage_cap * 4,
                               (lo.stage_cap, 4))
-        self.seq_idx = i32(lo.off_seq_idx, lo.stage_cap)
         n_rf = (lo.rows + 1) // 2
         self.row_first = b[lo.off_row_first:lo.off_row_first + n_rf].view(
             np.uint16)[: lo.rows]
@@ -192,10 +191,17 @@ def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
             exc_idx=_i32(b, lo.off_exc_idx, lo.exc_cap),
             exc_zz=_i32(b, lo.off_exc_zz, lo.exc_cap),
             exc_count=exc_count)
+    # recompute per-point sequence indices from the cumulative counts
+    # (staging appends sequences in order): idx[i] = #ends <= i
+    seq_count = _i32(b, lo.off_seq_count, lo.seq_cap)
+    ends = jnp.cumsum(seq_count)
+    pt_iota = jnp.arange(lo.stage_cap, dtype=jnp.int32)
+    seq_idx = jnp.sum(pt_iota[:, None] >= ends[None, :],
+                      axis=1).astype(jnp.int32)
     seq_batch = SequenceBatch(
         points=_f32(b, lo.off_seq_points, lo.stage_cap * 4,
                     (lo.stage_cap, 4)),
-        seq_idx=_i32(b, lo.off_seq_idx, lo.stage_cap),
+        seq_idx=seq_idx,
         seq_sec=_i32(b, lo.off_seq_sec, lo.seq_cap),
         seq_nsec=_i32(b, lo.off_seq_nsec, lo.seq_cap),
         seq_count=_i32(b, lo.off_seq_count, lo.seq_cap),

@@ -39,7 +39,6 @@ def test_packet_roundtrip_encoded_and_raw():
     pkt.tf_world_move[:] = rng.standard_normal((4, 4)).astype(np.float32)
     pkt.tf_crop_move[:] = rng.standard_normal((4, 4)).astype(np.float32)
     pkt.seq_points[:] = rng.standard_normal((16, 4)).astype(np.float32)
-    pkt.seq_idx[:] = rng.integers(0, 4, 16)
     pkt.seq_sec[:] = [10, 11, 12, 13]
     pkt.seq_nsec[:] = [1, 2, 3, 4]
     pkt.seq_count[:] = [5, 6, 0, 0]
@@ -68,7 +67,10 @@ def test_packet_roundtrip_encoded_and_raw():
                                   pkt.tf_crop_move)
     sb = inp.seq_batch
     np.testing.assert_array_equal(np.asarray(sb.points), pkt.seq_points)
-    np.testing.assert_array_equal(np.asarray(sb.seq_idx), pkt.seq_idx)
+    # seq_idx is derived on device from cumulative counts (5, 6, 0, 0)
+    want_idx = np.searchsorted(np.cumsum([5, 6, 0, 0]), np.arange(16),
+                               side="right")
+    np.testing.assert_array_equal(np.asarray(sb.seq_idx), want_idx)
     np.testing.assert_array_equal(np.asarray(sb.seq_sec), pkt.seq_sec)
     np.testing.assert_array_equal(np.asarray(sb.seq_nsec), pkt.seq_nsec)
     np.testing.assert_array_equal(np.asarray(sb.seq_count), pkt.seq_count)
