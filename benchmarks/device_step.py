@@ -106,7 +106,7 @@ def main():
         allowed_bits=B_BUCKETS,
         out=dict(words=pkt.tail, row_first=pkt.row_first,
                  exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz))
-    pkt.set_scalars(int(enc["exc_count"]), 10, 0, 9, 0, 0, 0)
+    pkt.set_scalars(int(enc["exc_count"]), 10, 0, 9, 0, 0, 0, 0.5, 10.0, 0.5)
     dev_pkt = jax.device_put(pkt.view(bits))
     hard_sync(dev_pkt)
 

@@ -55,7 +55,7 @@ def main():
         out=dict(words=pkt.tail, row_first=pkt.row_first,
                  exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz))
     _, bits = enc
-    pkt.set_scalars(int(enc[0]["exc_count"]), 10, 0, 8, 0, 0, 0)
+    pkt.set_scalars(int(enc[0]["exc_count"]), 10, 0, 8, 0, 0, 0, 0.5, 10.0, 0.5)
     packet_np = pkt.view(bits).copy()
     print(f"packet: {packet_np.nbytes/1e6:.2f} MB, bits={bits}")
 

@@ -60,11 +60,22 @@ class FusionConfig:
     voxel_max: Tuple[float, float, float] = (+1.0, +1.0, +1.0)
     voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
     voxel_enable_average: bool = True   # average-mode vs occupied-cell-centers
-    # "packed" (default): per-cell means via a 2-operand sort with
-    # cell-relative 10/10/12-bit quantized coordinates (error <=
-    # cell/2048 per axis, ~0.05 mm at deployment grids; ~25% faster on
-    # TPU). "exact": bit-exact f32 means via a 4-operand sort.
-    voxel_mean_mode: str = "packed"
+    # Average-mode implementation:
+    # - "rle": raster RLE pre-reduction (Pallas) + small sort — exploits
+    #   image coherence, ~3.5x faster than "packed" on TPU at the 8-cam
+    #   operating point; same 10/10/12 cell-relative quantization and
+    #   BIT-IDENTICAL results to "packed" (integer partial sums commute).
+    # - "packed": per-cell means via a 2-operand full-capacity sort with
+    #   cell-relative 10/10/12-bit quantized coordinates (error <=
+    #   cell/2048 per axis, ~0.05 mm at deployment grids).
+    # - "exact": bit-exact f32 means via a 4-operand sort.
+    # - "auto" (default): "rle" on TPU backends (grids < 2^24 cells),
+    #   "packed" elsewhere.
+    voxel_mean_mode: str = "auto"
+    # static cap on intermediate (cell, partial-sum) rows in "rle" mode
+    # (0 -> N//4); overflowing partials are dropped — a pathological scene
+    # with zero raster coherence needs this raised toward N
+    voxelize_partials_capacity: int = 0
     voxel_occupancy_lifetime: int = 1   # frames; launch default 10
     # static cap on emitted voxelized points (= max simultaneously occupied
     # cells; overflow drops cells and caps the count — explicit policy

@@ -66,10 +66,14 @@ class TrackComparison:
 
 
 class CCObjectTrack:
-    """cpp:2579-2648."""
+    """cpp:2579-2648. ``track_id`` is a persistent identity assigned by
+    :func:`track_objects` (monotone per tracker) — unlike the reference,
+    whose tracks are only addressable by a list index that shifts when
+    dead tracks compact out."""
 
     def __init__(self, obj: Optional[CCObject] = None):
         self.age = 0.0
+        self.track_id = -1
         self.last_object: Optional[CCObject] = obj
         if obj is None:
             self.initialized = False
@@ -129,15 +133,23 @@ class TrackingStats:
 def track_objects(objects: List[CCObject],
                   tracks: List[CCObjectTrack],
                   min_area: float,
-                  dt: float = 1.0 / 30.0) -> TrackingStats:
+                  dt: float = 1.0 / 30.0,
+                  max_tracks: Optional[int] = None) -> TrackingStats:
     """Greedy two-pass association (cpp:2727-2944), mutating ``tracks``:
 
     1. every object (skipping background index 0 and tiny areas) picks its
        best acceptable track by comparison score;
     2. each track keeps only its best object; losers become new tracks;
     3. unmatched tracks decay via advance(); dead tracks compacted out.
+
+    New tracks get persistent, monotonically increasing ``track_id``s.
+    With ``max_tracks`` set, the live set is bounded: lowest-score tracks
+    are dropped first (explicit policy where the reference grows
+    unboundedly under clutter; its ``max_tracks``-free loop is
+    cpp:2894-2940).
     """
     stats = TrackingStats()
+    next_id = max((t.track_id for t in tracks), default=-1) + 1
     num_objects = len(objects)
     num_tracks = len(tracks)
     assigned_track = [-2] * num_objects  # -2 ignore, -1 new track
@@ -186,7 +198,10 @@ def track_objects(objects: List[CCObject],
         if tid == -2:
             continue
         if tid == -1:
-            tracks.append(CCObjectTrack(objects[oid]))
+            t = CCObjectTrack(objects[oid])
+            t.track_id = next_id
+            next_id += 1
+            tracks.append(t)
             advanced.append(False)
             stats.num_new_tracks += 1
         else:
@@ -199,6 +214,13 @@ def track_objects(objects: List[CCObject],
             tracks[tid].advance(dt)
 
     survivors = [t for t in tracks if not t.is_dead()]
+    if max_tracks is not None and len(survivors) > max_tracks:
+        # bound the live set: keep the highest-score tracks, stable order
+        # (ties resolved toward earlier tracks)
+        order = sorted(range(len(survivors)),
+                       key=lambda i: (-survivors[i].score, i))
+        keep = sorted(order[:max_tracks])
+        survivors = [survivors[i] for i in keep]
     stats.num_dead_tracks = len(tracks) - len(survivors)
     tracks[:] = survivors
     return stats

@@ -45,9 +45,12 @@ def _shift2d(a, dy, dx):
     return a
 
 
-def _kernel(points_hbm, mask_hbm, out_ref, pts_scr, msk_scr, sems, *,
-            height, width, halo, w_pad, filter_size, threshold,
-            enable_rot45, max_distance):
+def _kernel(scl_ref, points_hbm, mask_hbm, out_ref, pts_scr, msk_scr,
+            sems, *, height, width, halo, w_pad, filter_size,
+            enable_rot45):
+    # runtime filter scalars (live-reconfigurable, no re-jit)
+    threshold = scl_ref[0, 0]
+    max_distance = scl_ref[0, 1]
     c = pl.program_id(0)
     b = pl.program_id(1)
     band = BAND_ROWS
@@ -123,7 +126,7 @@ def _kernel(points_hbm, mask_hbm, out_ref, pts_scr, msk_scr, sems, *,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "filter_size", "enable_rot45",
-                     "threshold", "max_distance", "interpret"))
+                     "interpret"))
 def filter_flying_pixels_pallas(points_cam: jnp.ndarray,
                                 mask: jnp.ndarray,
                                 height: int,
@@ -153,13 +156,15 @@ def filter_flying_pixels_pallas(points_cam: jnp.ndarray,
     rows = BAND_ROWS + 2 * halo
     kernel = functools.partial(
         _kernel, height=height, width=width, halo=halo, w_pad=w_pad,
-        filter_size=filter_size, threshold=float(threshold),
-        enable_rot45=enable_rot45, max_distance=float(max_distance))
+        filter_size=filter_size, enable_rot45=enable_rot45)
+    scl = jnp.stack([jnp.asarray(threshold, jnp.float32),
+                     jnp.asarray(max_distance, jnp.float32)]).reshape(1, 2)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w_pad), jnp.int32),
         grid=(c, n_bands),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -172,7 +177,7 @@ def filter_flying_pixels_pallas(points_cam: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(planes, m)
+    )(scl, planes, m)
     return (out[:, :height, :width] != 0).reshape(c, height * width)
 
 
@@ -187,8 +192,8 @@ def filter_flying_pixels_auto(points_cam, mask, height, width, filter_size,
     see the measurement-discipline note in CLAUDE.md.)"""
     if prefer_pallas and jax.default_backend() in ("tpu", "axon"):
         return filter_flying_pixels_pallas(
-            points_cam, mask, height, width, filter_size, float(threshold),
-            enable_rot45, float(max_distance))
+            points_cam, mask, height, width, filter_size, threshold,
+            enable_rot45, max_distance)
     return _stencil.filter_flying_pixels(
         points_cam, mask, height, width, filter_size, threshold,
         enable_rot45, max_distance)

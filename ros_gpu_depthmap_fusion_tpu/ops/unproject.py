@@ -25,7 +25,8 @@ def unproject_depthmaps(depth_u16: jnp.ndarray,
                         intrinsics: jnp.ndarray,
                         tf_world: jnp.ndarray,
                         tf_crop: jnp.ndarray,
-                        depth_scale: float):
+                        depth_scale: float,
+                        rectify_map: jnp.ndarray | None = None):
     """Unproject a batch of depth maps.
 
     Args:
@@ -34,6 +35,13 @@ def unproject_depthmaps(depth_u16: jnp.ndarray,
         tf_world:   ``[C, 4, 4]`` world <- camera transforms.
         tf_crop:    ``[C, 4, 4]`` crop  <- camera transforms.
         depth_scale: depth unit -> meters (default 1e-3).
+        rectify_map: optional ``[C, H*W, 2]`` (or broadcastable) float map
+            of rectified (u, v) pixel coordinates per linear pixel index —
+            the reference reserves ``m_bufRectifyMap`` for this and
+            currently passes identity through
+            (``shader/convert_depthmap_to_points.glsl:75-81``). ``None``
+            (default) is the identity map, matching the reference's
+            effective behavior.
 
     Returns:
         points_cam, points_world, points_crop: ``[C, H*W, 4]`` float32
@@ -43,11 +51,16 @@ def unproject_depthmaps(depth_u16: jnp.ndarray,
     depth = depth_u16.reshape(c, h * w).astype(jnp.float32)
     mask = depth > 0
 
-    # pixel coordinates from the linear index (glsl:75-81 rectify is identity:
-    # u = idx % width, v = idx // width)
-    lin = jnp.arange(h * w, dtype=jnp.int32)
-    u = (lin % w).astype(jnp.float32)[None, :]          # [1, HW]
-    v = (lin // w).astype(jnp.float32)[None, :]
+    # pixel coordinates from the linear index (glsl:75-81 rectify is identity
+    # unless a map is supplied: u = idx % width, v = idx // width)
+    if rectify_map is not None:
+        rm = jnp.asarray(rectify_map, jnp.float32)
+        u = rm[..., 0].reshape(-1, h * w)
+        v = rm[..., 1].reshape(-1, h * w)
+    else:
+        lin = jnp.arange(h * w, dtype=jnp.int32)
+        u = (lin % w).astype(jnp.float32)[None, :]      # [1, HW]
+        v = (lin // w).astype(jnp.float32)[None, :]
 
     fx = intrinsics[:, 0:1]
     fy = intrinsics[:, 1:2]

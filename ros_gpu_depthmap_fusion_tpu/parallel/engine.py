@@ -129,7 +129,12 @@ class ShardedFusionEngine(FusionEngine):
                 eye if tf_crop_move is None else tf_crop_move, np.float32),
             now_sec=np.int32(now_sec), now_nsec=np.int32(now_nsec),
             roll_min_sec=np.int32(min_sec),
-            roll_min_nsec=np.int32(min_nsec))
+            roll_min_nsec=np.int32(min_nsec),
+            fp_threshold=np.float32(
+                self.cfg.flyingpixels_filter_threshold),
+            fp_max_distance=np.float32(self.cfg.flyingpixels_max_distance),
+            ps_threshold=np.float32(
+                self.cfg.point_sequence_filter_threshold))
         inp = jax.device_put(inp, self._inp_shardings)
         self.state, out = self.step(self.state, inp)
         self.clear()

@@ -99,6 +99,7 @@ def input_shardings(mesh: Mesh):
         tf_world_move=rep, tf_crop_move=rep,
         now_sec=rep, now_nsec=rep,
         roll_min_sec=rep, roll_min_nsec=rep,
+        fp_threshold=rep, fp_max_distance=rep, ps_threshold=rep,
     )
 
 
@@ -237,6 +238,7 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
         seq_batch=SequenceBatch(*([P()] * 8)),
         tf_world_move=P(), tf_crop_move=P(),
         now_sec=P(), now_nsec=P(), roll_min_sec=P(), roll_min_nsec=P(),
+        fp_threshold=P(), fp_max_distance=P(), ps_threshold=P(),
     )
     out_specs = (state_specs, ShardedFrameOutputs(
         fused_points=P(SPACE_AXIS),

@@ -107,21 +107,30 @@ class FusionComponent:
                                 size: Optional[int] = None,
                                 rot45: Optional[bool] = None):
         """Runtime reconfiguration of the flying-pixel filter
-        (cpp:970-990). Re-jits the device step on the next frame."""
-        kw = {}
+        (cpp:970-990). The threshold is a per-frame packet scalar — it
+        takes effect next frame with ZERO recompilation (parity with the
+        reference's live uniform update). Size/rot45 change the stencil
+        structure (trace-time static) and rebuild the step lazily."""
         if threshold is not None:
-            kw["flyingpixels_filter_threshold"] = float(threshold)
-        if size is not None:
+            self.cfg = self.cfg.replace(
+                flyingpixels_filter_threshold=float(threshold))
+            self.engine.set_runtime_filters(fp_threshold=threshold)
+        kw = {}
+        if size is not None and size != self.cfg.flyingpixels_filter_size:
             kw["flyingpixels_filter_size"] = int(size)
-        if rot45 is not None:
+        if (rot45 is not None
+                and rot45 != self.cfg.flyingpixels_filter_enable_rot45):
             kw["flyingpixels_filter_enable_rot45"] = bool(rot45)
         if not kw:
             return
         self.cfg = self.cfg.replace(**kw)
         old_state = self.engine.state
+        runtime = (self.engine.fp_threshold, self.engine.fp_max_distance,
+                   self.engine.ps_threshold)
         self.engine = FusionEngine(self.cfg,
                                    enable_mapping=self.enable_mapping)
         self.engine.state = old_state  # carry device state across reconfig
+        self.engine.set_runtime_filters(*runtime)
 
     # ------ processing ----------------------------------------------------
     def tick_resample(self, now: float) -> Optional[FrameOutputs]:

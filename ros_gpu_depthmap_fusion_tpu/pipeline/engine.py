@@ -51,7 +51,8 @@ from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import crop_points, compact
 from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
     scatter_occupancy, update_historic_occupancy, occupancy_to_u8)
 from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
-    voxelize_average, voxelize_average_packed, voxelize_occupied)
+    voxelize_average, voxelize_average_packed, voxelize_average_rle,
+    voxelize_occupied)
 from ros_gpu_depthmap_fusion_tpu.state import rollbuffer as rbmod
 from ros_gpu_depthmap_fusion_tpu.state.rollbuffer import RollBuffer
 from ros_gpu_depthmap_fusion_tpu.utils import native
@@ -88,6 +89,14 @@ class FrameInputs(NamedTuple):
     now_nsec: jnp.ndarray
     roll_min_sec: jnp.ndarray   # expiry threshold (now - timespan)
     roll_min_nsec: jnp.ndarray
+    # runtime-reconfigurable filter scalars (the reference adjusts these
+    # live via config topics, _component.cpp:970-990; shipping them as
+    # frame inputs makes reconfig free — no re-jit). Defaults match the
+    # FusionConfig defaults for constructors that build FrameInputs
+    # directly.
+    fp_threshold: jnp.ndarray = 0.5    # flying-pixel cos(view) threshold
+    fp_max_distance: jnp.ndarray = 10.0
+    ps_threshold: jnp.ndarray = 0.5    # point-sequence filter threshold
 
 
 class FrameOutputs(NamedTuple):
@@ -133,7 +142,7 @@ def fusion_step(state: EngineState,
     staged_mask = stage_idx < sb.num_points
     seq_mask = filter_point_sequence(
         sb.points, staged_mask, sb.num_points,
-        cfg.point_sequence_filter_size, cfg.point_sequence_filter_threshold)
+        cfg.point_sequence_filter_size, inp.ps_threshold)
 
     # -- 2. insert into rollbuffer --
     rb, _overflow = rbmod.insert_sequences(
@@ -165,9 +174,9 @@ def fusion_step(state: EngineState,
         dmask = filter_flying_pixels(
             pts_cam, dmask, h, w,
             cfg.flyingpixels_filter_size,
-            cfg.flyingpixels_filter_threshold,
+            inp.fp_threshold,
             cfg.flyingpixels_filter_enable_rot45,
-            cfg.flyingpixels_max_distance)
+            inp.fp_max_distance)
 
     # -- concatenate depth section + rollbuffer selection section (the
     #    reference appends lidar after depth at m_depthmapsTotalElements) --
@@ -212,9 +221,19 @@ def fusion_step(state: EngineState,
     fresh = None
     if cfg.enable_voxel_filter:
         if cfg.voxel_enable_average:
-            vox_fn = (voxelize_average_packed
-                      if cfg.voxel_mean_mode == "packed"
-                      else voxelize_average)
+            mode = cfg.voxel_mean_mode
+            if mode == "auto":
+                on_tpu = jax.default_backend() in ("tpu", "axon")
+                mode = ("rle" if on_tpu and grid.num_cells < (1 << 24)
+                        else "packed")
+            if mode == "rle":
+                vox_fn = functools.partial(
+                    voxelize_average_rle,
+                    partials_capacity=cfg.voxelize_partials_capacity)
+            elif mode == "packed":
+                vox_fn = voxelize_average_packed
+            else:
+                vox_fn = voxelize_average
             fused_points, fused_count, fresh = vox_fn(
                 vox_points, cell_ids, live, grid, output_capacity,
                 return_occupancy=True)
@@ -321,7 +340,24 @@ class FusionEngine:
         c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
         self._depth_host = np.zeros((c, h, w), np.uint16)
         self._last_bits = -1  # codec width guess (temporally stable)
+        # live-reconfigurable filter scalars (shipped per frame in the
+        # packet header; changing them costs nothing — parity with the
+        # reference's config topics, _component.cpp:970-990)
+        self.fp_threshold = cfg.flyingpixels_filter_threshold
+        self.fp_max_distance = cfg.flyingpixels_max_distance
+        self.ps_threshold = cfg.point_sequence_filter_threshold
         self.clear()
+
+    def set_runtime_filters(self, fp_threshold=None, fp_max_distance=None,
+                            ps_threshold=None):
+        """Adjust filter scalars live — takes effect next frame with zero
+        recompilation (filter size/rot45 stay trace-time static)."""
+        if fp_threshold is not None:
+            self.fp_threshold = float(fp_threshold)
+        if fp_max_distance is not None:
+            self.fp_max_distance = float(fp_max_distance)
+        if ps_threshold is not None:
+            self.ps_threshold = float(ps_threshold)
 
     # --- ingestion (reference addDepthmap / addPointSequence) ---
     def clear(self):
@@ -402,7 +438,9 @@ class FusionEngine:
             if flat.size % 2:
                 pkt.tail[n_pairs] = np.uint32(flat[-1])
         pkt.set_scalars(exc_count, now_sec, now_nsec, min_sec, min_nsec,
-                        self._seq_fill, self._num_seqs)
+                        self._seq_fill, self._num_seqs,
+                        self.fp_threshold, self.fp_max_distance,
+                        self.ps_threshold)
         # ONE transfer for the whole frame (depth included)
         inp = jax.device_put(pkt.view(depth_bits))
         self.state, out = self.step(self.state, inp, depth_bits=depth_bits)

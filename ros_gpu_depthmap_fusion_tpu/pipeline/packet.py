@@ -15,6 +15,9 @@ Layout (u32 words, all offsets static per config):
     [0]                exc_count
     [1..6]             now_sec, now_nsec, roll_min_sec, roll_min_nsec,
                        num_seq_points, num_seqs
+    [7..9]             fp_threshold, fp_max_distance, ps_threshold
+                       (f32 — live-reconfigurable filter scalars; shipping
+                       them per frame makes reconfig free, no re-jit)
     intr               C*4   f32 bits
     tf_world           C*16  f32
     tf_crop            C*16  f32
@@ -79,7 +82,7 @@ class PacketLayout(NamedTuple):
         c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
         rows = c * h
         e = cfg.depth_codec_max_exceptions
-        off = 7
+        off = 10
         f = {}
         for name, size in (
                 ("intr", c * 4), ("tf_world", c * 16), ("tf_crop", c * 16),
@@ -142,11 +145,15 @@ class HostPacket:
         self.tail = b[lo.off_tail:]
 
     def set_scalars(self, exc_count, now_sec, now_nsec, roll_min_sec,
-                    roll_min_nsec, num_seq_points, num_seqs):
+                    roll_min_nsec, num_seq_points, num_seqs,
+                    fp_threshold, fp_max_distance, ps_threshold):
         self.buf[0] = np.uint32(exc_count)
         hdr = np.array([now_sec, now_nsec, roll_min_sec, roll_min_nsec,
                         num_seq_points, num_seqs], np.int32)
         self.buf[1:7] = hdr.view(np.uint32)
+        self.buf[7:10] = np.array(
+            [fp_threshold, fp_max_distance, ps_threshold],
+            np.float32).view(np.uint32)
 
     def view(self, bits: Optional[int]) -> np.ndarray:
         return self.buf[: self.layout.total_words(bits)]
@@ -175,6 +182,7 @@ def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
     b = packet
     exc_count = _i32(b, 0, 1)[0]
     hdr = _i32(b, 1, 6)
+    fhdr = _f32(b, 7, 3, (3,))
     n_rf = (lo.rows + 1) // 2
     rf_words = b[lo.off_row_first:lo.off_row_first + n_rf]
     row_first = unpack_depth_pairs(rf_words)[: lo.rows].reshape(lo.c, lo.h)
@@ -217,4 +225,6 @@ def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
         tf_world_move=_f32(b, lo.off_tf_world_move, 16, (4, 4)),
         tf_crop_move=_f32(b, lo.off_tf_crop_move, 16, (4, 4)),
         now_sec=hdr[0], now_nsec=hdr[1],
-        roll_min_sec=hdr[2], roll_min_nsec=hdr[3])
+        roll_min_sec=hdr[2], roll_min_nsec=hdr[3],
+        fp_threshold=fhdr[0], fp_max_distance=fhdr[1],
+        ps_threshold=fhdr[2])

@@ -273,3 +273,33 @@ def gather_selection(rb: RollBuffer,
     pw = jnp.where(msk[:, None], pw, 0.0)
     pc = jnp.where(msk[:, None], pc, 0.0)
     return pw, pc, msk, sel.point_count
+
+
+def dump(rb: RollBuffer) -> dict:
+    """Download every rollbuffer field to host numpy for inspection —
+    the analog of the reference's debug inspector
+    ``checkAllPointSequenceBuffers`` (gpu_depthmap_fusion.cpp:859-926),
+    which pulls all 19 rollbuffer SSBOs into host vectors. Here the state
+    is one pytree, so the dump is a single batched ``device_get``; live
+    extents are pre-sliced for convenience (the full-capacity arrays are
+    included under ``*_raw``).
+    """
+    import numpy as np
+    host = jax.device_get(rb)
+    np_pts = int(host.num_points)
+    np_seqs = int(host.num_seqs)
+    return {
+        "num_points": np_pts,
+        "num_seqs": np_seqs,
+        "points": np.asarray(host.points[:np_pts]),
+        "mask": np.asarray(host.mask[:np_pts]),
+        "seq_idx": np.asarray(host.seq_idx[:np_pts]),
+        "seq_sec": np.asarray(host.seq_sec[:np_seqs]),
+        "seq_nsec": np.asarray(host.seq_nsec[:np_seqs]),
+        "seq_start": np.asarray(host.seq_start[:np_seqs]),
+        "seq_count": np.asarray(host.seq_count[:np_seqs]),
+        "seq_tf_move": np.asarray(host.seq_tf_move[:np_seqs]),
+        "points_raw": np.asarray(host.points),
+        "mask_raw": np.asarray(host.mask),
+        "seq_idx_raw": np.asarray(host.seq_idx),
+    }

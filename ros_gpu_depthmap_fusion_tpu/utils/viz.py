@@ -36,7 +36,7 @@ def track_wireframes(tracks: Sequence[CCObjectTrack],
     """Box wireframes (12 edges) for tracks above the score gate."""
     out: List[WireframeMarker] = []
     z0, z1 = z_range
-    for i, t in enumerate(tracks):
+    for t in tracks:
         if t.score < score_threshold:
             continue
         corners2d = t.rrect_filter.rrect.points()         # [4, 2]
@@ -50,7 +50,7 @@ def track_wireframes(tracks: Sequence[CCObjectTrack],
             segs.append([top[k], top[(k + 1) % 4]])
             segs.append([bottom[k], top[k]])
         out.append(WireframeMarker(
-            track_id=i, points=np.asarray(segs),
+            track_id=t.track_id, points=np.asarray(segs),
             color_rgba=np.array([0.1, 0.9, 0.2, min(1.0, t.score)]),
             score=t.score, age=t.age))
     return out

@@ -223,8 +223,10 @@ def test_viz_wireframes():
     t.score_filter = ObservePredictFilter(0.25, 0.1, 0.9, 0.1)
     t.score_filter.correct(1.0, [0.9])
     t.age = 1.0
+    t.track_id = 7
     markers = track_wireframes([t])
     assert len(markers) == 1
+    assert markers[0].track_id == 7  # persistent id, not list index
     assert markers[0].points.shape == (12, 2, 3)
     t.score_filter.correct(1.0, [0.0])
     t.score_filter.correct(1.0, [0.0])

@@ -165,3 +165,35 @@ def test_engine_deterministic():
     np.testing.assert_array_equal(results[0][0], results[1][0])
     assert results[0][1] == results[1][1]
     np.testing.assert_array_equal(results[0][2], results[1][2])
+
+
+def test_engine_runtime_filter_reconfig_no_rejit():
+    """Flying-pixel threshold / max_distance are per-frame packet scalars:
+    changing them takes effect next frame with the SAME jitted step
+    (parity with the reference's live config topics,
+    _component.cpp:970-990)."""
+    cfg = small_cfg()
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(1)
+    depth = rng.integers(1500, 2500,
+                         size=(cfg.depth_height, cfg.depth_width),
+                         dtype=np.uint16)
+    step_obj = eng.step
+
+    eng.add_depthmap(0, depth, intr, eye, eye)
+    base = int(eng.process(1.0).raw_count)
+
+    # max_distance below the scene range rejects everything
+    eng.set_runtime_filters(fp_max_distance=0.5)
+    eng.add_depthmap(0, depth, intr, eye, eye)
+    gated = int(eng.process(2.0).raw_count)
+    assert gated == 0 and base > 0
+    assert eng.step is step_obj  # no rebuild, no re-jit
+
+    # restoring brings the points back
+    eng.set_runtime_filters(fp_max_distance=10.0)
+    eng.add_depthmap(0, depth, intr, eye, eye)
+    assert int(eng.process(3.0).raw_count) == base
+    assert eng.step is step_obj

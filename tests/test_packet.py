@@ -52,7 +52,7 @@ def test_packet_roundtrip_encoded_and_raw():
     nexc = len(enc["exc_idx"])
     pkt.exc_idx[:nexc] = enc["exc_idx"]
     pkt.exc_zz[:nexc] = enc["exc_zz"]
-    pkt.set_scalars(nexc, 100, 200, 50, 60, 11, 2)
+    pkt.set_scalars(nexc, 100, 200, 50, 60, 11, 2, 0.7, 8.0, 0.3)
 
     inp = jax.jit(lambda p: unpack_packet(p, layout, bits))(
         jnp.asarray(pkt.view(bits)))
@@ -78,6 +78,10 @@ def test_packet_roundtrip_encoded_and_raw():
     assert int(sb.num_points) == 11 and int(sb.num_seqs) == 2
     assert (int(inp.now_sec), int(inp.now_nsec)) == (100, 200)
     assert (int(inp.roll_min_sec), int(inp.roll_min_nsec)) == (50, 60)
+    # runtime filter scalars round-trip through the f32 header words
+    assert float(inp.fp_threshold) == np.float32(0.7)
+    assert float(inp.fp_max_distance) == np.float32(8.0)
+    assert float(inp.ps_threshold) == np.float32(0.3)
 
     # raw tail
     flat = depth.reshape(-1)

