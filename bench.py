@@ -88,7 +88,10 @@ def main():
         max_points_per_sequence=4096,
         emit_raw_points=False,  # publish-parity: only the voxelized cloud
     )
-    eng = FusionEngine(cfg)
+    # pipeline_depth=1: frame k's packet rides the h2d link while step k-1
+    # computes (the link is the platform bottleneck — see
+    # benchmarks/link_overlap_probe2.py); process() returns frame k-1
+    eng = FusionEngine(cfg, pipeline_depth=1)
     intr = PinholeIntrinsics.default_for(W, H)
 
     cams = []
@@ -126,11 +129,12 @@ def main():
     # measured "fps" is dispatch rate, not completed-frame throughput.
     t0 = time.time()
     bits_seen = set()
-    for f in range(len(depths) + 1):
+    for f in range(len(depths) + 2):
         out = run_frame(f)
-        _ = int(np.asarray(out.fused_count))
+        if out is not None:  # pipelined: first call has nothing to return
+            _ = int(np.asarray(out.fused_count))
         bits_seen.add(eng._last_bits)
-    log(f"warmup {time.time() - t0:.1f}s over {len(depths) + 1} frames; "
+    log(f"warmup {time.time() - t0:.1f}s over {len(depths) + 2} frames; "
         f"codec_bits_seen={sorted(bits_seen)}")
 
     # timed: async frames pipeline through the link; the hard drain at the
@@ -157,10 +161,14 @@ def main():
     eng.enable_mapping = True
     from ros_gpu_depthmap_fusion_tpu.mapping.pipeline import MappingPipeline
     eng.mapping = MappingPipeline(cfg, eng.grid)
-    worker = AsyncMappingWorker(eng.mapping)
+    # warm the mapping path OUTSIDE the timed window (first cycle compiles
+    # the bitmap pack + segmentation programs)
     out = run_frame(0)
-    worker.submit(out.occupancy_u8)
-    _ = int(np.asarray(out.fused_count))
+    t0 = time.time()
+    res = eng.mapping.process(out.occupancy_u8)
+    log(f"mapping warm cycle {time.time() - t0:.1f}s "
+        f"({len(res.objects)} objects)")
+    worker = AsyncMappingWorker(eng.mapping)
     t0 = time.time()
     for f in range(1, iters + 1):
         out = run_frame(f)

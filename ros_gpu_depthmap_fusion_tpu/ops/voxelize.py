@@ -267,6 +267,81 @@ def voxelize_average_rle(points: jnp.ndarray,
     return out_points, count
 
 
+def voxelize_partial_sums(points: jnp.ndarray,
+                          cell_indices: jnp.ndarray,
+                          mask: jnp.ndarray,
+                          grid: VoxelGrid,
+                          capacity: int):
+    """Per-cell PARTIAL sums for distributed average-voxelize.
+
+    Same packed 10/10/12 cell-relative quantization and 2-operand sort as
+    :func:`voxelize_average_packed`, but stops before the mean: returns the
+    compacted per-cell integer sums so shards can combine them exactly
+    (integer partial sums commute — a ``psum`` over shards followed by one
+    division reproduces the single-device packed means bit-for-bit while
+    every per-cell count stays below 2^24).
+
+    Returns:
+        (cells ``[capacity]`` int32, ``num_cells`` beyond the count;
+         qsums ``[capacity, 3]`` f32 exact-integer quantized-coordinate sums;
+         cnts ``[capacity]`` f32 exact-integer member counts;
+         count scalar int32).
+    """
+    num_cells = grid.num_cells
+    n = mask.shape[0]
+    sentinel = jnp.int32(num_cells)
+    key = jnp.where(mask, cell_indices.astype(jnp.int32), sentinel)
+    corner = grid.world_coord_of_coord(
+        grid.grid_coord_of_index(cell_indices), dtype=points.dtype)
+    cs = jnp.asarray(grid.cell_size, points.dtype)
+    bits = (10, 10, 12)
+    qs = []
+    for a, b in enumerate(bits):
+        scale = jnp.asarray(1 << b, points.dtype)
+        f = (points[:, a] - corner[:, a]) / cs[a]
+        qs.append(jnp.clip(jnp.floor(f * scale), 0, (1 << b) - 1)
+                  .astype(jnp.uint32))
+    packed = qs[0] | (qs[1] << jnp.uint32(10)) | (qs[2] << jnp.uint32(20))
+    ks, ps = jax.lax.sort((key, packed), num_keys=1)
+    valid = ks < sentinel
+    acc = jnp.stack(
+        [(ps & jnp.uint32(1023)).astype(points.dtype),
+         ((ps >> jnp.uint32(10)) & jnp.uint32(1023)).astype(points.dtype),
+         (ps >> jnp.uint32(20)).astype(points.dtype),
+         valid.astype(points.dtype)], axis=-1)
+    s = 1
+    while s < n:
+        shifted = jnp.pad(acc[:-s], ((s, 0), (0, 0)))
+        same = jnp.pad(ks[s:] == ks[:-s], (s, 0))
+        acc = acc + jnp.where(same[:, None], shifted, 0.0)
+        s *= 2
+    is_end = (jnp.concatenate([ks[1:] != ks[:-1], jnp.array([True])])
+              & valid)
+    (out_acc, out_cells), count = compact_multi((acc, ks), is_end, capacity)
+    live = jnp.arange(capacity, dtype=jnp.int32) < count
+    out_cells = jnp.where(live, out_cells, sentinel)
+    out_acc = jnp.where(live[:, None], out_acc, 0.0)
+    return out_cells, out_acc[:, :3], out_acc[:, 3], count
+
+
+def dequantize_cell_means(cells: jnp.ndarray, qsums: jnp.ndarray,
+                          cnts: jnp.ndarray, grid: VoxelGrid,
+                          bits=(10, 10, 12)):
+    """World-coordinate means from combined quantized per-cell sums
+    (the reconstruction half of :func:`voxelize_average_packed`)."""
+    live = cnts > 0
+    safe = jnp.where(live, cells, 0).astype(jnp.int32)
+    corner = grid.world_coord_of_coord(grid.grid_coord_of_index(safe),
+                                       dtype=qsums.dtype)
+    cs = jnp.asarray(grid.cell_size, qsums.dtype)
+    inv_scale = cs / jnp.asarray([float(1 << b) for b in bits],
+                                 qsums.dtype)
+    mean_q = qsums / jnp.maximum(cnts[:, None], 1.0)
+    means = (corner + (mean_q + 0.5) * inv_scale) * live[:, None]
+    return jnp.concatenate(
+        [means, live.astype(qsums.dtype)[:, None]], axis=-1)
+
+
 def voxelize_occupied(occupancy: jnp.ndarray,
                       grid: VoxelGrid,
                       capacity: int,

@@ -135,6 +135,10 @@ class ShardedFusionEngine(FusionEngine):
             fp_max_distance=np.float32(self.cfg.flyingpixels_max_distance),
             ps_threshold=np.float32(
                 self.cfg.point_sequence_filter_threshold))
+        # snapshot reused staging buffers (depth/intr/tf/seq) before the
+        # put: device_put may zero-copy numpy (CPU backend) or read during
+        # an async transfer while the next frame restages them
+        inp = jax.tree.map(np.array, inp)
         inp = jax.device_put(inp, self._inp_shardings)
         self.state, out = self.step(self.state, inp)
         self.clear()

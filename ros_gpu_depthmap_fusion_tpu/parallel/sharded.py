@@ -43,6 +43,8 @@ from ros_gpu_depthmap_fusion_tpu.ops.stencil import filter_point_sequence
 from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import crop_points, compact
 from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
     scatter_occupancy, update_historic_occupancy, occupancy_to_u8)
+from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
+    voxelize_partial_sums, dequantize_cell_means)
 from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import compact_multi
 from ros_gpu_depthmap_fusion_tpu.state import rollbuffer as rbmod
 from ros_gpu_depthmap_fusion_tpu.pipeline.engine import (
@@ -137,8 +139,7 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
         staged_mask = stage_idx < sb.num_points
         seq_mask = filter_point_sequence(
             sb.points, staged_mask, sb.num_points,
-            cfg.point_sequence_filter_size,
-            cfg.point_sequence_filter_threshold)
+            cfg.point_sequence_filter_size, inp.ps_threshold)
         rb, _ = rbmod.insert_sequences(
             rb, sb.points, seq_mask, sb.seq_idx, sb.seq_sec, sb.seq_nsec,
             sb.seq_count, sb.seq_tf_move, sb.num_points, sb.num_seqs)
@@ -159,9 +160,9 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
             dmask = filter_flying_pixels(
                 pts_cam, dmask, h, w,
                 cfg.flyingpixels_filter_size,
-                cfg.flyingpixels_filter_threshold,
+                inp.fp_threshold,
                 cfg.flyingpixels_filter_enable_rot45,
-                cfg.flyingpixels_max_distance)
+                inp.fp_max_distance)
 
         all_world = jnp.concatenate(
             [pts_world.reshape(n_depth_local, 4), seq_world], axis=0)
@@ -173,39 +174,50 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
 
         raw_points, raw_count = compact(all_world, all_mask, local_cap)
 
-        # ---- fresh occupancy: local scatter + pmax over streams (ICI) ----
+        # ---- fresh occupancy: local scatter, slice own space block, then
+        #      pmax over streams — the collective moves one [block] slab
+        #      per device (n_space x less ICI traffic than reducing the
+        #      full grid and slicing afterwards) ----
         cell_ids = grid.cell_index_clamped(raw_points[:, :3])
         live = jnp.arange(local_cap, dtype=jnp.int32) < raw_count
         fresh_local = scatter_occupancy(cell_ids, live, padded)
-        fresh = jax.lax.pmax(fresh_local, STREAM_AXIS)
+        my_block = jax.lax.pmax(
+            jax.lax.dynamic_slice(fresh_local, (space_id * block,),
+                                  (block,)),
+            STREAM_AXIS)
 
         # ---- historic update on own space block only ----
-        my_block = jax.lax.dynamic_slice(fresh, (space_id * block,), (block,))
         historic = update_historic_occupancy(
             state.historic_occupancy, my_block,
             cfg.voxel_occupancy_lifetime)
         occupancy_u8 = occupancy_to_u8(historic)
 
         # ---- fused output points per space block ----
+        blk_ids = jnp.arange(block, dtype=jnp.int32) + space_id * block
         if cfg.voxel_enable_average:
-            sums_local = jnp.zeros((padded, 4), jnp.float32)
-            tgt = jnp.where(live, cell_ids, padded)
-            sums_local = sums_local.at[tgt].add(
-                jnp.where(live[:, None], raw_points, 0.0), mode="drop")
-            cnts_local = jnp.zeros((padded,), jnp.int32).at[tgt].add(
-                jnp.where(live, 1, 0), mode="drop")
-            sums = jax.lax.psum(sums_local, STREAM_AXIS)
-            cnts = jax.lax.psum(cnts_local, STREAM_AXIS)
-            blk_sums = jax.lax.dynamic_slice(
-                sums, (space_id * block, 0), (block, 4))
-            blk_cnts = jax.lax.dynamic_slice(
-                cnts, (space_id * block,), (block,))
-            means = blk_sums / jnp.maximum(blk_cnts[:, None], 1)
+            # sort-based per-shard partial sums (the packed 10/10/12
+            # quantized path); the full-grid colliding at[].add the
+            # single-chip measurements condemn (~165 ms serialized loop on
+            # v5e, ops/voxelize.py:58-63) is replaced by one unique-index
+            # scatter of <= partials_cap compacted rows. Integer partial
+            # sums commute, so psum over streams reproduces the
+            # single-device packed means bit-for-bit.
+            partials_cap = min(local_cap, padded)
+            p_cells, p_qsums, p_cnts, _ = voxelize_partial_sums(
+                raw_points, cell_ids, live, grid, partials_cap)
+            rows = jnp.concatenate([p_qsums, p_cnts[:, None]], axis=-1)
+            tgt = jnp.where(p_cnts > 0, p_cells, padded)
+            dense = jnp.zeros((padded, 4), jnp.float32).at[tgt].set(
+                rows, mode="drop")
+            blk = jax.lax.psum(
+                jax.lax.dynamic_slice(dense, (space_id * block, 0),
+                                      (block, 4)),
+                STREAM_AXIS)
+            blk_cnts = jnp.where(blk_ids < grid.num_cells, blk[:, 3], 0.0)
+            pts = dequantize_cell_means(blk_ids, blk[:, :3], blk_cnts, grid)
             (fused_points,), fused_count = compact_multi(
-                (means,), blk_cnts > 0, block_output_capacity)
+                (pts,), blk_cnts > 0, block_output_capacity)
         else:
-            blk_ids = (jnp.arange(block, dtype=jnp.int32)
-                       + space_id * block)
             xyz = grid.world_coord_of_index(jnp.minimum(
                 blk_ids, grid.num_cells - 1))
             pts = jnp.concatenate(

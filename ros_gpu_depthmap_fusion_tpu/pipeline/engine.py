@@ -312,7 +312,7 @@ class FusionEngine:
     """
 
     def __init__(self, cfg: FusionConfig, grid: Optional[VoxelGrid] = None,
-                 enable_mapping: bool = False):
+                 enable_mapping: bool = False, pipeline_depth: int = 0):
         from ros_gpu_depthmap_fusion_tpu.utils.compilation_cache import (
             enable_persistent_compilation_cache)
         from ros_gpu_depthmap_fusion_tpu.pipeline.packet import (
@@ -346,6 +346,22 @@ class FusionEngine:
         self.fp_threshold = cfg.flyingpixels_filter_threshold
         self.fp_max_distance = cfg.flyingpixels_max_distance
         self.ps_threshold = cfg.point_sequence_filter_threshold
+        # Ingest pipelining (pipeline_depth=1): the h2d link on this
+        # platform is a single ~55 MB/s stream that only overlaps compute
+        # when the transfer is issued from a separate thread BEFORE the
+        # consuming step is dispatched (benchmarks/link_overlap_probe2.py:
+        # 35.5 vs 44.3 ms/frame). With depth=1, process(k) returns the
+        # outputs of frame k-1 while frame k's packet rides the link —
+        # one frame of latency for ~25% more throughput (the reference
+        # pays the same latency shape via its resample timer,
+        # _component.cpp:74-90).
+        self.pipeline_depth = int(pipeline_depth)
+        self._xfer = None
+        self._pending = None  # (future, depth_bits) of the frame in flight
+        if self.pipeline_depth:
+            import concurrent.futures
+            self._xfer = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="fusion-xfer")
         self.clear()
 
     def set_runtime_filters(self, fp_threshold=None, fp_max_distance=None,
@@ -441,10 +457,49 @@ class FusionEngine:
                         self._seq_fill, self._num_seqs,
                         self.fp_threshold, self.fp_max_distance,
                         self.ps_threshold)
-        # ONE transfer for the whole frame (depth included)
-        inp = jax.device_put(pkt.view(depth_bits))
+        if self.pipeline_depth:
+            # resolve the in-flight transfer of frame k-1, issue frame k's
+            # transfer on the worker (so it rides the link during step
+            # k-1), then dispatch step k-1 — the schedule measured fastest
+            # in benchmarks/link_overlap_probe2.py (v3)
+            prev = self._pending
+            # snapshot-on-worker: device_put's host-side read can be lazy
+            # (zero-copy on the CPU backend; in-flight DMA on the tunnel),
+            # while this packet buffer is restaged two frames later — the
+            # copy pins frame k's bytes. It runs on the worker thread, so
+            # the main loop never pays for it.
+            view = pkt.view(depth_bits)
+            self._pending = (
+                self._xfer.submit(lambda v: jax.device_put(np.array(v)),
+                                  view),
+                depth_bits)
+            self.clear()
+            if prev is None:
+                return None
+            inp, prev_bits = prev[0].result(), prev[1]
+            self.state, out = self.step(self.state, inp,
+                                        depth_bits=prev_bits)
+            return out
+        # ONE transfer for the whole frame (depth included). The snapshot
+        # copy is required for correctness, not just in pipelined mode:
+        # device_put may zero-copy a numpy buffer (CPU backend) or read it
+        # during an in-flight DMA, while this packet is restaged two
+        # frames later — without the copy the step can observe frame k+2
+        # bytes (real flake caught by test_engine_pipelined_matches_sync).
+        inp = jax.device_put(np.array(pkt.view(depth_bits)))
         self.state, out = self.step(self.state, inp, depth_bits=depth_bits)
         self.clear()
+        return out
+
+    def flush(self) -> Optional[FrameOutputs]:
+        """Drain the in-flight frame (pipelined mode): dispatch and return
+        the last submitted frame's outputs, or None if nothing pending."""
+        if self._pending is None:
+            return None
+        fut, bits = self._pending
+        self._pending = None
+        self.state, out = self.step(self.state, fut.result(),
+                                    depth_bits=bits)
         return out
 
     def segment_and_track(self, out: FrameOutputs):

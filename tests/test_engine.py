@@ -197,3 +197,40 @@ def test_engine_runtime_filter_reconfig_no_rejit():
     eng.add_depthmap(0, depth, intr, eye, eye)
     assert int(eng.process(3.0).raw_count) == base
     assert eng.step is step_obj
+
+
+def test_engine_pipelined_matches_sync():
+    """pipeline_depth=1 returns frame k-1's outputs from process(k) (+
+    flush() for the tail) and produces EXACTLY the sync-mode sequence."""
+    cfg = small_cfg()
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(1000, 4000,
+                           size=(cfg.depth_height, cfg.depth_width),
+                           dtype=np.uint16) for _ in range(5)]
+    seq = rng.standard_normal((8, 3)).astype(np.float32)
+
+    def run(eng):
+        outs = []
+        for f, d in enumerate(frames):
+            eng.add_depthmap(0, d, intr, eye, eye)
+            eng.add_depthmap(1, frames[(f + 2) % 5], intr, eye, eye)
+            eng.add_point_sequence(seq, sec=f + 1, nsec=0, tf_move=eye)
+            out = eng.process(float(f + 1))
+            if out is not None:
+                outs.append(out)
+        tail = eng.flush() if hasattr(eng, "flush") else None
+        if tail is not None:
+            outs.append(tail)
+        return outs
+
+    sync_outs = run(FusionEngine(cfg))
+    pipe_outs = run(FusionEngine(cfg, pipeline_depth=1))
+    assert len(sync_outs) == len(pipe_outs) == len(frames)
+    for a, b in zip(sync_outs, pipe_outs):
+        assert int(a.fused_count) == int(b.fused_count)
+        np.testing.assert_array_equal(np.asarray(a.fused_points),
+                                      np.asarray(b.fused_points))
+        np.testing.assert_array_equal(np.asarray(a.occupancy_u8),
+                                      np.asarray(b.occupancy_u8))

@@ -18,9 +18,10 @@ def _cfg():
         voxel_size=(0.5, 0.5, 0.5), voxel_occupancy_lifetime=3,
         rollbuffer_point_capacity=64, rollbuffer_seq_capacity=8,
         max_points_per_sequence=32,
-        # the sharded step computes exact f32 means (psum of scatter-adds),
-        # so compare against the single-chip exact path
-        voxel_mean_mode="exact")
+        # the sharded step reduces packed 10/10/12-quantized partial sums
+        # (integer sums commute across shards), so it is BIT-IDENTICAL to
+        # the single-chip packed path
+        voxel_mean_mode="packed")
 
 
 def test_sharded_engine_matches_single():
