@@ -1,20 +1,34 @@
 """Headline benchmark: fused depth frames/s/chip.
 
-Workload (the north-star operating point): 8 RGB-D streams at 848x480 +
-one 2048-point lidar stream, fused into the reference's largest deployment
-grid (40m x 40m x 2.5m at 0.1/0.1/0.12 -> 400x400x21 ~ 3.4M cells,
+Workload (the north-star operating point): 8 RGB-D streams at 848x480 on a
+MOVING synthetic scene (per-frame camera-rig rotation + translating blob +
+fresh per-frame sensor noise — so codec wins are real, not an artifact of
+a repeating frame set), plus 2 lidar streams x 8192 points/frame, fused
+into the reference's largest deployment grid (40m x 40m x 2.5m at
+0.1/0.1/0.12 -> 400x400x21 ~ 3.4M cells,
 launch/gpu_depthmap_fusion.launch:144-159), full pipeline per frame:
-unproject -> flying-pixel filter -> crop -> compact -> voxelize(average) ->
-occupancy + temporal decay, plus rollbuffer maintenance.
+unproject -> flying-pixel filter -> crop -> voxelize(average) ->
+occupancy + temporal decay, plus rollbuffer maintenance over a ~49k-point
+aggregation window (the reference's ~100k-point operating regime at half
+rate; rollbuffer capacity 65536 is sized to the benched load —
+gpu_depthmap_fusion.cpp:1271-1275).
 
-Baseline: the reference's designed processing rate is 30 Hz on a desktop GPU
-with up to 6 streams (launch:29-32; no published numbers exist — BASELINE.md).
-``vs_baseline`` is fps / 30.
+Depth link: DPCM codec with quant_shift=2 (depth quantized to 4 mm before
+coding — error <= 2 mm, below RealSense-class sensor noise at the benched
+2.5 m range and 1/25 of the z cell size; stderr records the shift, bits
+and measured bytes/frame so the operating point is explicit).
 
-Prints ONE JSON line on stdout. Everything needed to explain the number
-(native-lib availability, codec width, XLA cache state, per-phase costs,
-per-window rates) goes to stderr, so a regression is attributable from the
-bench log alone.
+Baseline: the reference's designed processing rate is 30 Hz on a desktop
+GPU with up to 6 streams (launch:29-32; no published numbers exist —
+BASELINE.md). ``vs_baseline`` is fps / 30.
+
+HEADLINE = MEDIAN of the timed windows (max reported alongside in stderr;
+the tunnel occasionally hiccups for hundreds of ms, the spread shows it).
+
+Prints JSON lines on stdout; the LAST line is the headline metric.
+Everything needed to explain the number (native-lib availability, codec
+width/bytes, XLA cache state, per-phase costs, per-window rates, RLE
+partials occupancy vs capacity) goes to stderr.
 """
 
 import json
@@ -38,7 +52,7 @@ def _supervised() -> int:
             proc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=900)
-            sys.stderr.write(proc.stderr[-4000:])
+            sys.stderr.write(proc.stderr[-6000:])
             lines = [ln for ln in proc.stdout.splitlines()
                      if ln.startswith("{")]
             if lines:
@@ -77,49 +91,94 @@ def main():
         'fallback — expect large encode times)'}")
 
     H, W, C = 480, 848, 8
+    N_LIDAR_STREAMS, LIDAR_PTS = 2, 8192
     cfg = FusionConfig(
         num_depth_streams=C, depth_height=H, depth_width=W,
-        num_point_sequences=1,
+        num_point_sequences=N_LIDAR_STREAMS,
         crop_min=(-20, -20, 0), crop_max=(20, 20, 2.5),
         voxel_min=(-20, -20, 0), voxel_max=(20, 20, 2.5),
         voxel_size=(0.1, 0.1, 0.12),
         voxel_occupancy_lifetime=10,
-        rollbuffer_point_capacity=131072,
-        max_points_per_sequence=4096,
+        # rollbuffer sized to the benched lidar load: 2 streams x 8192
+        # pts/frame over the 0.1 s aggregation window @30 Hz = up to 4
+        # staged frames ~ 65k selected points -> 96k capacity (1.5x; the
+        # reference's GPU path hard-discards above 100k,
+        # gpu_depthmap_fusion.cpp:1271-1275)
+        rollbuffer_point_capacity=98304,
+        max_points_per_sequence=N_LIDAR_STREAMS * LIDAR_PTS,
+        # 4 mm depth quantization on the link (error <= 2 mm) + RLE
+        # partials bound sized from measurement (stderr prints the true
+        # per-frame run count vs this capacity)
+        depth_codec_quant_shift=2,
+        voxelize_partials_capacity=512 * 1024,
         emit_raw_points=False,  # publish-parity: only the voxelized cloud
     )
     # pipeline_depth=1: frame k's packet rides the h2d link while step k-1
-    # computes (the link is the platform bottleneck — see
-    # benchmarks/link_overlap_probe2.py); process() returns frame k-1
+    # computes (the link is the platform bottleneck)
     eng = FusionEngine(cfg, pipeline_depth=1)
     intr = PinholeIntrinsics.default_for(W, H)
 
-    cams = []
-    for i in range(C):
-        ang = i * 2 * np.pi / C
-        pos = np.array([8 * np.cos(ang), 8 * np.sin(ang), 2.0])
-        cams.append(transforms.make_se3(
-            transforms.rot_z(ang + np.pi) @ transforms.rot_x(-np.pi / 2 - 0.3),
-            pos))
-
     rng = np.random.default_rng(0)
     u, v = np.meshgrid(np.arange(W), np.arange(H))
-    base = 2500 + 200 * np.sin(u / 150.0) + 150 * np.cos(v / 120.0)
+
+    # MOVING scene: 8 pre-staged frames of a drifting wave field + a
+    # translating near-range blob, fresh noise per frame; the camera rig
+    # additionally yaws a little every frame (poses are per-frame cheap)
+    N_STAGED = 8
     depths = []
-    for k in range(4):  # rotate through a few pre-staged frames
-        d = (base + rng.standard_normal((H, W))).astype(np.uint16)
+    for k in range(N_STAGED):
+        ph = 2 * np.pi * k / N_STAGED
+        base = (2500 + 200 * np.sin(u / 150.0 + ph)
+                + 150 * np.cos(v / 120.0 - 0.7 * ph))
+        cx, cy = W * (0.3 + 0.4 * k / N_STAGED), H * 0.5
+        blob = 900 * np.exp(-(((u - cx) / 90.0) ** 2
+                             + ((v - cy) / 70.0) ** 2))
+        d = (base - blob + rng.standard_normal((H, W))).astype(np.uint16)
         d[rng.random((H, W)) < 0.01] = 0
         depths.append(d)
-    t_l = np.linspace(0, np.pi, 2048)
-    arc = np.stack([6 * np.cos(t_l), 6 * np.sin(t_l), 1 + 0 * t_l], axis=-1)
+
+    def cams_at(f):
+        yaw0 = 0.02 * np.sin(2 * np.pi * f / 60.0)  # rig sway
+        out = []
+        for i in range(C):
+            ang = i * 2 * np.pi / C + yaw0
+            pos = np.array([8 * np.cos(ang), 8 * np.sin(ang), 2.0])
+            out.append(transforms.make_se3(
+                transforms.rot_z(ang + np.pi)
+                @ transforms.rot_x(-np.pi / 2 - 0.3), pos))
+        return out
+
+    # 2 lidar streams: rotating arcs at different radii (staged per frame)
+    t_l = np.linspace(0, np.pi, LIDAR_PTS)
+    arcs = []
+    for k in range(N_STAGED):
+        rot = 2 * np.pi * k / N_STAGED
+        arcs.append([
+            np.stack([6 * np.cos(t_l + rot), 6 * np.sin(t_l + rot),
+                      1 + 0.3 * np.sin(5 * t_l)], axis=-1)
+            .astype(np.float32),
+            np.stack([12 * np.cos(-t_l * 0.7 + rot),
+                      12 * np.sin(-t_l * 0.7 + rot),
+                      1.5 + 0 * t_l], axis=-1).astype(np.float32),
+        ])
+
+    bytes_hist, enc_ms_hist = [], []
 
     def run_frame(f):
-        d = depths[f % len(depths)]
+        d = depths[f % N_STAGED]
+        cams = cams_at(f)
         for i in range(C):
             eng.add_depthmap(i, d, intr, cams[i], cams[i])
-        eng.add_point_sequence(arc, sec=10, nsec=int((f % 30) * 33e6),
-                               tf_move=np.eye(4, dtype=np.float32))
-        return eng.process(10.0 + f / 30.0)
+        for s, arc in enumerate(arcs[f % N_STAGED]):
+            eng.add_point_sequence(
+                arc, sec=10 + (f // 30), nsec=int((f % 30) * 33e6),
+                tf_move=np.eye(4, dtype=np.float32))
+        t0 = time.perf_counter()
+        out = eng.process(10.0 + f / 30.0)
+        if len(bytes_hist) < 200:
+            bytes_hist.append(4 * eng.layout.total_words(eng._last_bits))
+            enc_ms_hist.append((time.perf_counter() - t0) * 1e3)
+        return out
 
     # warmup/compile over ALL pre-staged frames so every codec width (and
     # therefore every jit variant) the timed loop can hit is compiled
@@ -129,60 +188,71 @@ def main():
     # measured "fps" is dispatch rate, not completed-frame throughput.
     t0 = time.time()
     bits_seen = set()
-    for f in range(len(depths) + 2):
+    vox_partials = 0
+    for f in range(N_STAGED + 2):
         out = run_frame(f)
         if out is not None:  # pipelined: first call has nothing to return
             _ = int(np.asarray(out.fused_count))
-        bits_seen.add(eng._last_bits)
-    log(f"warmup {time.time() - t0:.1f}s over {len(depths) + 2} frames; "
-        f"codec_bits_seen={sorted(bits_seen)}")
+            vox_partials = max(vox_partials,
+                               int(np.asarray(out.vox_partials_count)))
+    bits_seen.add(eng._last_bits)
+    log(f"warmup {time.time() - t0:.1f}s over {N_STAGED + 2} frames; "
+        f"codec_bits={sorted(bits_seen)} quant_shift="
+        f"{cfg.depth_codec_quant_shift} "
+        f"packet={np.mean(bytes_hist) / 1e6:.2f} MB/frame "
+        f"(raw depth {C * H * W * 2 / 1e6:.2f} MB) "
+        f"host stage+encode {np.median(enc_ms_hist):.1f} ms/frame")
+    log(f"rle_partials: true={vox_partials} "
+        f"cap={cfg.voxelize_partials_capacity} "
+        f"({'OVERFLOW — raise voxelize_partials_capacity' if vox_partials > cfg.voxelize_partials_capacity else 'ok'})")
 
     # timed: async frames pipeline through the link; the hard drain at the
     # end is INSIDE the window so only fully completed work is counted.
-    # Three windows; the best is the steady-state capability (the tunnel
-    # occasionally hiccups for hundreds of ms; stderr shows the spread).
-    iters, rates = 30, []
-    for w in range(3):
+    windows, iters = 5, 30
+    rates = []
+    for wd in range(windows):
         t0 = time.time()
         for f in range(1, iters + 1):
             out = run_frame(f)
         _ = int(np.asarray(out.fused_count))
         rates.append(iters / (time.time() - t0))
-        log(f"window {w}: {rates[-1]:.2f} fps")
-    fps = max(rates)
-    log(f"windows fps={['%.2f' % r for r in rates]} -> best {fps:.2f}")
+        log(f"window {wd}: {rates[-1]:.2f} fps")
+    fps_median = float(np.median(rates))
+    fps_max = float(np.max(rates))
+    log(f"windows fps={['%.2f' % r for r in rates]} -> "
+        f"median {fps_median:.2f} (max {fps_max:.2f})")
 
     # --- mapping-on: segmentation + tracking run concurrently over the
     # latest occupancy grid (reference's 17-stage loop through tracking,
     # _component.cpp:471-514, with its resample-decoupling semantics
     # applied between fusion and mapping) ---
     from ros_gpu_depthmap_fusion_tpu.mapping.pipeline import (
-        AsyncMappingWorker)
+        AsyncMappingWorker, MappingPipeline)
     eng.enable_mapping = True
-    from ros_gpu_depthmap_fusion_tpu.mapping.pipeline import MappingPipeline
     eng.mapping = MappingPipeline(cfg, eng.grid)
     # warm the mapping path OUTSIDE the timed window (first cycle compiles
     # the bitmap pack + segmentation programs)
     out = run_frame(0)
     t0 = time.time()
     res = eng.mapping.process(out.occupancy_u8)
-    log(f"mapping warm cycle {time.time() - t0:.1f}s "
+    log(f"mapping warm cycle {time.time() - t0:.2f}s "
         f"({len(res.objects)} objects)")
     worker = AsyncMappingWorker(eng.mapping)
     t0 = time.time()
-    for f in range(1, iters + 1):
+    map_iters = 2 * iters
+    for f in range(1, map_iters + 1):
         out = run_frame(f)
         worker.submit(out.occupancy_u8)
     _ = int(np.asarray(out.fused_count))
-    map_fps = iters / (time.time() - t0)
     dt_map = time.time() - t0
+    map_fps = map_iters / dt_map
     cycles = worker.cycles
     worker.close()
     tracks = len(worker.latest().tracks) if worker.latest() else 0
     log(f"mapping-on: {map_fps:.2f} fused fps, {cycles / dt_map:.1f} "
-        f"mapping cycles/s ({cycles}/{iters} frames mapped, "
+        f"mapping cycles/s ({cycles}/{map_iters} frames mapped, "
         f"{tracks} tracks); total bench time {time.time() - t_start:.0f}s")
-    # secondary metric first; the HEADLINE metric is the last line (the
+    # secondary metrics first; the HEADLINE metric is the last line (the
     # driver records the tail)
     print(json.dumps({
         "metric": "fused_fps_with_segmentation_tracking_8cam",
@@ -191,10 +261,22 @@ def main():
         "vs_baseline": round(map_fps / 30.0, 2),
     }))
     print(json.dumps({
-        "metric": "fused_frames_per_s_per_chip_8cam_848x480",
-        "value": round(fps, 2),
+        "metric": "mapping_cycles_per_s",
+        "value": round(cycles / dt_map, 2),
+        "unit": "cycles/s",
+        "vs_baseline": round(cycles / dt_map / 30.0, 2),
+    }))
+    print(json.dumps({
+        "metric": "fused_frames_per_s_per_chip_8cam_848x480_max",
+        "value": round(fps_max, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 2),
+        "vs_baseline": round(fps_max / 30.0, 2),
+    }))
+    print(json.dumps({
+        "metric": "fused_frames_per_s_per_chip_8cam_848x480",
+        "value": round(fps_median, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_median / 30.0, 2),
     }))
 
 

@@ -22,19 +22,31 @@ def main():
                     choices=["slam", "groundtruth"])
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--ba-every", type=int, default=8)
+    ap.add_argument("--hard", action="store_true",
+                    help="render the HARD synthetic benchmark sequence "
+                         "(640x480, 150 frames, aggressive orbit with "
+                         "loop closure, quadratic depth noise + range-"
+                         "growing dropout) instead of the quick one")
     args = ap.parse_args()
 
     from ros_gpu_depthmap_fusion_tpu.pipeline.tum_runner import (
-        run_tum_sequence, write_synthetic_tum_sequence)
+        run_tum_sequence, write_hard_synthetic_tum_sequence,
+        write_synthetic_tum_sequence)
 
     root = args.sequence
     if root is None:
         root = tempfile.mkdtemp(prefix="tum_synth_")
-        print(f"no sequence given; writing synthetic TUM sequence to {root}")
-        write_synthetic_tum_sequence(root, n_frames=20, width=320,
-                                     height=240)
-        if args.max_frames is None:
-            args.max_frames = 20
+        if args.hard:
+            print(f"writing HARD synthetic TUM sequence to {root} "
+                  "(640x480 x 150 frames — takes a minute)")
+            write_hard_synthetic_tum_sequence(root)
+        else:
+            print(f"no sequence given; writing synthetic TUM sequence "
+                  f"to {root}")
+            write_synthetic_tum_sequence(root, n_frames=20, width=320,
+                                         height=240)
+            if args.max_frames is None:
+                args.max_frames = 20
 
     res = run_tum_sequence(root, pose_source=args.pose_source,
                            max_frames=args.max_frames,

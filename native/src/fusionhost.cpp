@@ -941,15 +941,27 @@ static inline void fh_pack_row(const uint32_t* zrow, int64_t r, int32_t W,
 // temporally stable). When in the allowed list, rows are packed at
 // guess_B during the DPCM pass; if the histogram then confirms guess_B,
 // the packing pass is skipped entirely.
+//
+// quant_shift: optional bounded-loss quantization — nonzero depths are
+// rounded to multiples of 2^quant_shift BEFORE the DPCM (error at most
+// 2^(quant_shift-1) depth units, i.e. <= 2 mm at shift 2 with mm depth
+// — below RealSense-class sensor noise at range and 2-3 orders below
+// the deployment voxel sizes). Deltas shrink by the same factor, so the
+// histogram typically picks a width ~quant_shift bits narrower. 0 =
+// lossless (default path, bit-exact round trip). The decoder multiplies
+// the reconstructed series back by 2^quant_shift.
 int32_t fh_depth_encode2(const uint16_t* depth, int32_t C, int32_t H,
                          int32_t W, int64_t max_exc,
                          const int32_t* allowed_bits, int32_t n_allowed,
-                         int32_t guess_B,
+                         int32_t guess_B, int32_t quant_shift,
                          uint32_t* zz_tmp, uint32_t* words,
                          uint16_t* row_first,
                          uint32_t* exc_idx, uint32_t* exc_zz,
                          int64_t* out_meta) {
   const int64_t rows = (int64_t)C * H;
+  const int32_t qsh = quant_shift;
+  const int32_t qround = qsh > 0 ? (1 << (qsh - 1)) : 0;
+  const int32_t qmax = 65535 >> qsh;  // so series << qsh stays u16
   bool guess_allowed = false;
   for (int32_t i = 0; i < n_allowed; ++i)
     if (allowed_bits[i] == guess_B) guess_allowed = true;
@@ -982,6 +994,9 @@ int32_t fh_depth_encode2(const uint16_t* depth, int32_t C, int32_t H,
       FhRowPacker pk(words + r * gwpr);
       for (int32_t x = 0; x < W; ++x) {
         uint16_t d = row[x];
+        if (d != 0 && qsh > 0)
+          d = (uint16_t)std::min(qmax,
+                                 std::max(1, ((int32_t)d + qround) >> qsh));
         uint32_t z, code;
         if (d == 0) {
           z = FH_HOLE;

@@ -89,6 +89,13 @@ class FusionConfig:
     # multi-camera bottleneck. "none": ship raw u16.
     depth_link_codec: str = "dpcm"
     depth_codec_max_exceptions: int = 8192
+    # bounded-loss link quantization: nonzero depths are rounded to
+    # multiples of 2**shift before the DPCM (error <= 2**(shift-1) depth
+    # units, e.g. <= 2 mm at shift 2 with mm depth — below sensor noise at
+    # range and ~2 orders below deployment voxel sizes) and the deltas
+    # shrink by the same factor, typically dropping the code width by
+    # ~shift bits. 0 (default) = lossless bit-exact round trip.
+    depth_codec_quant_shift: int = 0
 
     # also emit the compacted raw (pre-voxelize) cloud every frame. The
     # reference only builds the cloud it publishes, so pipelines that

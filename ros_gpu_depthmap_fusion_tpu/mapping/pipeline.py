@@ -11,6 +11,7 @@ from __future__ import annotations
 import functools
 import queue
 import threading
+import time
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -152,7 +153,20 @@ class AsyncMappingWorker:
     Queue depth is 1 with drop-oldest: if mapping is slower than fusion it
     processes the newest grid (same degradation semantics as the
     reference's resample timer skipping stale frames).
+
+    Tracking dt: the reference's fixed ``dt = 1/30``
+    (gpu_depthmap_fusion.cpp:2730) was consistent with its inline 30 Hz
+    loop; here cycles arrive at the worker's own (variable) rate, so each
+    cycle passes the MEASURED wall-clock time since the previous cycle into
+    ``track_objects`` — the filter library is dt-corrected
+    (filter.h:70-84), so score decay and velocity estimates then advance at
+    wall speed regardless of mapping cadence. Clamped to
+    [tracking_dt, dt_max] so a long stall doesn't kill every track in one
+    step.
     """
+
+    #: upper clamp for the measured inter-cycle dt (seconds)
+    dt_max = 2.0
 
     def __init__(self, pipeline: MappingPipeline):
         self.pipeline = pipeline
@@ -161,6 +175,7 @@ class AsyncMappingWorker:
         self._lock = threading.Lock()
         self.cycles = 0
         self._stop = False
+        self._last_cycle_t: Optional[float] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -191,7 +206,12 @@ class AsyncMappingWorker:
                 continue
             if occ is None:
                 break
-            res = self.pipeline.process(occ)
+            now = time.monotonic()
+            dt = (self.pipeline.cfg.tracking_dt if self._last_cycle_t is None
+                  else min(max(now - self._last_cycle_t,
+                               self.pipeline.cfg.tracking_dt), self.dt_max))
+            self._last_cycle_t = now
+            res = self.pipeline.process(occ, dt=dt)
             with self._lock:
                 self._latest = res
                 self.cycles += 1

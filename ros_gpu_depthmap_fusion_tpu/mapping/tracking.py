@@ -127,7 +127,8 @@ class CCObjectTrack:
 class TrackingStats:
     num_new_tracks: int = 0
     num_updated_tracks: int = 0
-    num_dead_tracks: int = 0
+    num_dead_tracks: int = 0      # genuine score-decay deaths only
+    num_capped_tracks: int = 0    # live tracks evicted by the max_tracks cap
 
 
 def track_objects(objects: List[CCObject],
@@ -214,13 +215,15 @@ def track_objects(objects: List[CCObject],
             tracks[tid].advance(dt)
 
     survivors = [t for t in tracks if not t.is_dead()]
+    stats.num_dead_tracks = len(tracks) - len(survivors)
     if max_tracks is not None and len(survivors) > max_tracks:
         # bound the live set: keep the highest-score tracks, stable order
-        # (ties resolved toward earlier tracks)
+        # (ties resolved toward earlier tracks). Capacity evictions are
+        # counted separately from decay deaths (stats.num_capped_tracks).
         order = sorted(range(len(survivors)),
                        key=lambda i: (-survivors[i].score, i))
         keep = sorted(order[:max_tracks])
+        stats.num_capped_tracks = len(survivors) - max_tracks
         survivors = [survivors[i] for i in keep]
-    stats.num_dead_tracks = len(tracks) - len(survivors)
     tracks[:] = survivors
     return stats

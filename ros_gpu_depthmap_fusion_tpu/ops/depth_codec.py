@@ -53,8 +53,12 @@ class EncodedDepth(NamedTuple):
 
 
 def decode_depth(enc: EncodedDepth, height: int, width: int,
-                 bits: int) -> jnp.ndarray:
-    """Decode to ``[C, H, W]`` uint16. ``bits`` is static (jit per bucket)."""
+                 bits: int, quant_shift: int = 0) -> jnp.ndarray:
+    """Decode to ``[C, H, W]`` uint16. ``bits`` is static (jit per bucket).
+
+    ``quant_shift`` must match the encoder's: the DPCM series is in units
+    of ``2**quant_shift`` and is scaled back here (holes stay exact 0).
+    """
     c, h, wpr = enc.words.shape
     n = c * h * width
     esc = (1 << bits) - 1
@@ -84,6 +88,8 @@ def decode_depth(enc: EncodedDepth, height: int, width: int,
     delta = (zz >> 1) ^ -(zz & 1)
     series = enc.row_first.astype(jnp.int32)[..., None] + jnp.cumsum(
         delta, axis=-1)
+    if quant_shift:
+        series = series << quant_shift
     return jnp.where(is_hole, 0, series).astype(jnp.uint16)
 
 
@@ -92,12 +98,18 @@ def decode_depth(enc: EncodedDepth, height: int, width: int,
 # ---------------------------------------------------------------------------
 
 def encode_depth_reference(depth: np.ndarray, max_exceptions: int = 8192,
-                           allowed_bits=B_BUCKETS) -> Tuple[dict, int]:
+                           allowed_bits=B_BUCKETS,
+                           quant_shift: int = 0) -> Tuple[dict, int]:
     """Reference implementation of ``fh_depth_encode2`` semantics (pixel
     loops; use only at test scale). Returns exception arrays at their
     actual length (the native binding pads them to the static cap)."""
     c, h, w = depth.shape
     rows = depth.reshape(c * h, w).astype(np.int64)
+    if quant_shift:
+        nz = rows != 0
+        q = np.clip((rows + (1 << (quant_shift - 1))) >> quant_shift,
+                    1, 65535 >> quant_shift)
+        rows = np.where(nz, q, 0)
     zz = np.zeros((c * h, w), np.int64)
     hole = np.zeros((c * h, w), bool)
     row_first = np.zeros(c * h, np.uint16)

@@ -198,18 +198,21 @@ def rle_reduce_pallas(keys: jnp.ndarray, vals: jnp.ndarray, capacity: int,
     Returns:
         (out_keys ``[capacity]`` int32 — ``sentinel`` beyond the count,
          out_sums ``[capacity, D]`` — zeros beyond the count,
-         count scalar int32 clamped to capacity).
+         count scalar int32 clamped to capacity,
+         true_count scalar int32 — the UNclamped run total, so callers can
+         detect capacity overflow: ``true_count > capacity`` means rows
+         were dropped).
     """
     n, d = vals.shape
     assert d <= DP - 1, d
     planes = jnp.concatenate(
         [keys.astype(jnp.float32)[None, :], vals.T.astype(jnp.float32),
          jnp.zeros((DP - 1 - d, n), jnp.float32)], axis=0)
-    out, cnt = _rle_pallas(planes, capacity, int(sentinel),
-                           interpret=interpret)
-    cnt = jnp.minimum(cnt, jnp.int32(capacity))
+    out, true_cnt = _rle_pallas(planes, capacity, int(sentinel),
+                                interpret=interpret)
+    cnt = jnp.minimum(true_cnt, jnp.int32(capacity))
     live = jnp.arange(capacity, dtype=jnp.int32) < cnt
     out_keys = jnp.where(live, out[0, :capacity].astype(jnp.int32),
                          jnp.int32(sentinel))
     out_sums = jnp.where(live[:, None], out[1:1 + d, :capacity].T, 0.0)
-    return out_keys, out_sums, cnt
+    return out_keys, out_sums, cnt, true_cnt

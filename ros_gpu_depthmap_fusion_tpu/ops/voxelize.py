@@ -200,7 +200,8 @@ def voxelize_average_rle(points: jnp.ndarray,
                          capacity: int,
                          return_occupancy: bool = False,
                          partials_capacity: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         return_partials_count: bool = False):
     """Mean point per occupied cell via raster RLE pre-reduction (TPU).
 
     Same quantization (and bit-identical results — all accumulated values
@@ -218,7 +219,18 @@ def voxelize_average_rle(points: jnp.ndarray,
     ``partials_capacity`` bounds the intermediate rows (0 -> N//4,
     min 64k); overflowing partials are dropped (explicit policy, like
     every other capacity in this engine — a pathological scene with zero
-    raster coherence would need ``partials_capacity=N``).
+    raster coherence would need ``partials_capacity=N``). Overflow is
+    OBSERVABLE: with ``return_partials_count=True`` the true (unclamped)
+    level-1 run count is appended to the returned tuple; a value above
+    ``partials_capacity`` means partial rows were dropped and the caller
+    should raise the capacity (or fall back to ``packed``). The engine
+    surfaces it as ``FrameOutputs.vox_partials_count``.
+
+    Bit-exactness vs ``packed``: holds while every per-cell accumulated
+    sum stays an exact f32 integer, i.e. below 2^24 — per-cell member
+    counts up to ~2048 (the z sum is bounded by 8191*count). Beyond that
+    the accumulation orders may round differently; the mean error is
+    negligible but not bitwise zero.
     """
     from ros_gpu_depthmap_fusion_tpu.ops.pallas.segreduce import (
         rle_reduce_pallas)
@@ -237,13 +249,14 @@ def voxelize_average_rle(points: jnp.ndarray,
         [jnp.where(mask[:, None], q, 0.0),
          mask.astype(points.dtype)[:, None]], axis=-1)
 
-    # level 1: raster-order run reduction
-    pk, ps, _ = rle_reduce_pallas(key, vals, partials_capacity, sentinel,
-                                  interpret=interpret)
+    # level 1: raster-order run reduction (l1_true = unclamped run count,
+    # the overflow detector)
+    pk, ps, _, l1_true = rle_reduce_pallas(key, vals, partials_capacity,
+                                           sentinel, interpret=interpret)
     # group the partials: small sort, then the same kernel on sorted runs
     sk, s0, s1, s2, s3 = jax.lax.sort(
         (pk, ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3]), num_keys=1)
-    cells, sums, count = rle_reduce_pallas(
+    cells, sums, count, _ = rle_reduce_pallas(
         sk, jnp.stack([s0, s1, s2, s3], axis=-1), capacity, sentinel,
         interpret=interpret)
 
@@ -259,12 +272,15 @@ def voxelize_average_rle(points: jnp.ndarray,
     w_col = live.astype(points.dtype)
     out_means = (out_corner + (mean_q + 0.5) * inv_scale) * w_col[:, None]
     out_points = jnp.concatenate([out_means, w_col[:, None]], axis=-1)
+    ret = (out_points, count)
     if return_occupancy:
         target = jnp.where(live, safe_cells, jnp.int32(sentinel))
         occ = jnp.zeros((num_cells,), jnp.int32)
         occ = occ.at[target].max(1, mode="drop")
-        return out_points, count, occ
-    return out_points, count
+        ret = ret + (occ,)
+    if return_partials_count:
+        ret = ret + (l1_true,)
+    return ret
 
 
 def voxelize_partial_sums(points: jnp.ndarray,

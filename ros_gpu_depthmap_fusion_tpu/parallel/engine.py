@@ -33,24 +33,56 @@ from ros_gpu_depthmap_fusion_tpu.parallel.sharded import (
 
 
 class ShardedFusionEngine(FusionEngine):
-    """FusionEngine whose device step is the sharded multi-chip program."""
+    """FusionEngine whose device step is the sharded multi-chip program.
+
+    Production ingest parity with the single-chip engine (VERDICT r2 item
+    6): the depth link uses the same native DPCM codec (each stream
+    shard's compressed rows transfer to its own devices; the small
+    exception arrays replicate), filter scalars are live via
+    :meth:`set_runtime_filters` (inherited — they ride FrameInputs, so
+    changing them never re-jits), and ``pipeline_depth=1`` overlaps the
+    sharded device_put of frame k with step k-1 on a transfer thread,
+    exactly like the single-chip pipeline.
+    """
 
     def __init__(self, cfg: FusionConfig, mesh,
-                 grid: Optional[VoxelGrid] = None):
+                 grid: Optional[VoxelGrid] = None,
+                 pipeline_depth: int = 0):
         self.mesh = mesh
         self.cfg = cfg
         self.grid = grid or VoxelGrid.from_config(cfg)
         self.n_stream = mesh.shape[STREAM_AXIS]
         self.n_space = mesh.shape[SPACE_AXIS]
         assert cfg.num_depth_streams % self.n_stream == 0
-        self.step = build_sharded_fusion_step(cfg, self.grid, mesh)
+        # one jitted step per depth-link variant (None = raw; else the
+        # bucketed DPCM width, same bucketing as the single-chip packet)
+        self._steps = {}
+        self._shardings = {}
         self.state = sharded_initial_state(cfg, self.grid, mesh)
-        self._inp_shardings = input_shardings(mesh)
         self.enable_mapping = False
         self.mapping = None
         self._stage_cap = cfg.max_points_per_sequence
         self._seq_stage_cap = max(1, cfg.num_point_sequences * 4)
+        self._last_bits = -1
+        self.fp_threshold = cfg.flyingpixels_filter_threshold
+        self.fp_max_distance = cfg.flyingpixels_max_distance
+        self.ps_threshold = cfg.point_sequence_filter_threshold
+        self.pipeline_depth = int(pipeline_depth)
+        self._xfer = None
+        self._pending = None
+        if self.pipeline_depth:
+            import concurrent.futures
+            self._xfer = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="sharded-xfer")
         self.clear()
+
+    def _step_for(self, bits):
+        if bits not in self._steps:
+            self._steps[bits] = build_sharded_fusion_step(
+                self.cfg, self.grid, self.mesh, depth_bits=bits)
+            self._shardings[bits] = input_shardings(self.mesh,
+                                                    depth_bits=bits)
+        return self._steps[bits], self._shardings[bits]
 
     def clear(self):
         # plain-array staging (the sharded device_put in process()
@@ -107,18 +139,42 @@ class ShardedFusionEngine(FusionEngine):
             num_points=np.int32(self._seq_fill),
             num_seqs=np.int32(len(self._seq_meta)))
 
+    def _encode_depth(self):
+        """Compress the staged depth block with the native DPCM encoder
+        (same codec + quantization as the single-chip packet). Returns
+        (EncodedDepth-of-numpy, bits) or (raw depth, None)."""
+        from ros_gpu_depthmap_fusion_tpu.utils import native
+        from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+            B_BUCKETS, EncodedDepth)
+        if self.cfg.depth_link_codec != "dpcm":
+            return self._depth_np, None
+        enc = native.depth_encode(
+            self._depth_np, self.cfg.depth_codec_max_exceptions,
+            allowed_bits=B_BUCKETS, guess_bits=self._last_bits,
+            quant_shift=self.cfg.depth_codec_quant_shift)
+        if enc is None:
+            return self._depth_np, None
+        d, bits = enc
+        self._last_bits = bits
+        return EncodedDepth(
+            words=d["words"], row_first=d["row_first"],
+            exc_idx=d["exc_idx"].astype(np.int32),
+            exc_zz=d["exc_zz"].astype(np.int32),
+            exc_count=np.int32(d["exc_count"])), bits
+
     def process(self, now_seconds: float,
                 tf_world_move: Optional[np.ndarray] = None,
                 tf_crop_move: Optional[np.ndarray] = None
-                ) -> ShardedFrameOutputs:
+                ) -> Optional[ShardedFrameOutputs]:
         now_ns = timeutil.from_seconds(now_seconds)
         now_sec, now_nsec = timeutil.decode(now_ns)
         min_ns = now_ns - timeutil.from_seconds(
             self.cfg.point_sequence_aggregation_timespan)
         min_sec, min_nsec = timeutil.decode(max(min_ns, 0))
         eye = np.eye(4, dtype=np.float32)
+        depth, bits = self._encode_depth()
         inp = FrameInputs(
-            depth=self._depth_np,
+            depth=depth,
             intrinsics=self._intr,
             tf_world=self._tf_world,
             tf_crop=self._tf_crop,
@@ -130,19 +186,58 @@ class ShardedFusionEngine(FusionEngine):
             now_sec=np.int32(now_sec), now_nsec=np.int32(now_nsec),
             roll_min_sec=np.int32(min_sec),
             roll_min_nsec=np.int32(min_nsec),
-            fp_threshold=np.float32(
-                self.cfg.flyingpixels_filter_threshold),
-            fp_max_distance=np.float32(self.cfg.flyingpixels_max_distance),
-            ps_threshold=np.float32(
-                self.cfg.point_sequence_filter_threshold))
+            fp_threshold=np.float32(self.fp_threshold),
+            fp_max_distance=np.float32(self.fp_max_distance),
+            ps_threshold=np.float32(self.ps_threshold))
         # snapshot reused staging buffers (depth/intr/tf/seq) before the
         # put: device_put may zero-copy numpy (CPU backend) or read during
         # an async transfer while the next frame restages them
         inp = jax.tree.map(np.array, inp)
-        inp = jax.device_put(inp, self._inp_shardings)
-        self.state, out = self.step(self.state, inp)
+        if self.pipeline_depth:
+            # frame k's sharded transfer rides on the worker while step
+            # k-1 computes (single-chip schedule, link_overlap_probe2 v3)
+            prev = self._pending
+            self._pending = (
+                self._xfer.submit(self._put_inputs, inp, bits), bits)
+            self.clear()
+            if prev is None:
+                return None
+            pinp, pbits = prev[0].result(), prev[1]
+            step, _ = self._step_for(pbits)
+            self.state, out = step(self.state, pinp)
+            return out
+        inp = self._put_inputs(inp, bits)
+        step, _ = self._step_for(bits)
+        self.state, out = step(self.state, inp)
         self.clear()
         return out
+
+    def flush(self) -> Optional[ShardedFrameOutputs]:
+        """Drain the in-flight frame (pipelined mode)."""
+        if self._pending is None:
+            return None
+        fut, bits = self._pending
+        self._pending = None
+        step, _ = self._step_for(bits)
+        self.state, out = step(self.state, fut.result())
+        return out
+
+    def _put_inputs(self, inp: FrameInputs, bits=None):
+        """Place FrameInputs with their shardings. Single process: plain
+        sharded device_put. Multi-process (jax.distributed): every process
+        holds the full host arrays, so each builds the global jax.Array
+        from its addressable shards (make_array_from_callback) — camera
+        shards land on their owning host's devices, nothing crosses DCN
+        at ingest."""
+        _, shardings = self._step_for(bits)
+        if jax.process_count() == 1:
+            return jax.device_put(inp, shardings)
+
+        def put_one(x, sh):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx, x=x: x[idx])
+        return jax.tree.map(put_one, inp, shardings)
 
     # --- host-side assembly of sharded outputs ---
     def raw_points_host(self, out: ShardedFrameOutputs) -> np.ndarray:

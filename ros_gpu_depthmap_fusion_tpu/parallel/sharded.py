@@ -36,6 +36,8 @@ from jax import shard_map
 
 from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
 from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+    EncodedDepth, decode_depth)
 from ros_gpu_depthmap_fusion_tpu.ops.unproject import unproject_depthmaps
 from ros_gpu_depthmap_fusion_tpu.ops.pallas.flying_pixels import (
     filter_flying_pixels_auto as filter_flying_pixels)
@@ -91,11 +93,18 @@ def state_shardings(mesh: Mesh):
     )
 
 
-def input_shardings(mesh: Mesh):
+def input_shardings(mesh: Mesh, depth_bits=None):
+    """Shardings for FrameInputs. With ``depth_bits`` set, ``depth`` is an
+    :class:`EncodedDepth` whose words/row_first shard over ``stream`` (each
+    host transfers only its cameras' compressed rows) and whose small
+    exception arrays stay replicated."""
     rep = NamedSharding(mesh, P())
     stream0 = NamedSharding(mesh, P(STREAM_AXIS))
+    depth_sh = stream0 if depth_bits is None else EncodedDepth(
+        words=stream0, row_first=stream0, exc_idx=rep, exc_zz=rep,
+        exc_count=rep)
     return FrameInputs(
-        depth=stream0, intrinsics=stream0, tf_world=stream0,
+        depth=depth_sh, intrinsics=stream0, tf_world=stream0,
         tf_crop=stream0,
         seq_batch=SequenceBatch(*([rep] * 8)),
         tf_world_move=rep, tf_crop_move=rep,
@@ -107,12 +116,18 @@ def input_shardings(mesh: Mesh):
 
 def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
                               mesh: Mesh,
-                              block_output_capacity: Optional[int] = None):
+                              block_output_capacity: Optional[int] = None,
+                              depth_bits: Optional[int] = None):
     """Compile the multi-device frame step.
 
     Inputs follow :func:`input_shardings` (depth batch sharded over
     ``stream``); state follows :func:`state_shardings`. Returns a jitted
     ``(state, inputs) -> (state, ShardedFrameOutputs)``.
+
+    ``depth_bits``: static DPCM code width — ``inp.depth`` is then an
+    :class:`EncodedDepth` and each shard decodes its own cameras inside
+    the step (the compressed link codec of the single-chip engine,
+    ops/depth_codec.py, applied per stream shard).
     """
     n_stream = mesh.shape[STREAM_AXIS]
     n_space = mesh.shape[SPACE_AXIS]
@@ -153,8 +168,22 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
         seq_valid_local = seq_valid & (stream_id == 0)
 
         # ---- local depth pipeline (own cameras only) ----
+        if depth_bits is None:
+            depth_u16 = inp.depth
+        else:
+            # exceptions carry GLOBAL flat pixel indices (replicated);
+            # rebase into this shard's window and drop the rest (indices
+            # mapped to n_depth_local scatter with mode="drop")
+            enc = inp.depth
+            offset = stream_id * jnp.int32(n_depth_local)
+            li = enc.exc_idx.astype(jnp.int32) - offset
+            li = jnp.where((li >= 0) & (li < n_depth_local), li,
+                           jnp.int32(n_depth_local))
+            depth_u16 = decode_depth(
+                enc._replace(exc_idx=li), h, w, depth_bits,
+                cfg.depth_codec_quant_shift)
         pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
-            inp.depth, inp.intrinsics, inp.tf_world, inp.tf_crop,
+            depth_u16, inp.intrinsics, inp.tf_world, inp.tf_crop,
             cfg.depth_scale)
         if cfg.enable_flyingpixels_filter:
             dmask = filter_flying_pixels(
@@ -244,8 +273,11 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
         historic_occupancy=P(SPACE_AXIS),
         frame_index=P(),
     )
+    depth_spec = P(STREAM_AXIS) if depth_bits is None else EncodedDepth(
+        words=P(STREAM_AXIS), row_first=P(STREAM_AXIS), exc_idx=P(),
+        exc_zz=P(), exc_count=P())
     in_specs = FrameInputs(
-        depth=P(STREAM_AXIS), intrinsics=P(STREAM_AXIS),
+        depth=depth_spec, intrinsics=P(STREAM_AXIS),
         tf_world=P(STREAM_AXIS), tf_crop=P(STREAM_AXIS),
         seq_batch=SequenceBatch(*([P()] * 8)),
         tf_world_move=P(), tf_crop_move=P(),

@@ -90,6 +90,20 @@ class TumRgbdDataset:
         for key in TUM_INTRINSICS:
             if f"freiburg{key[-1]}" in name or name.startswith(key):
                 fr = key
+        # an explicit per-sequence calibration file (one line: fx fy cx cy
+        # width height — written by the synthetic sequence writers) beats
+        # the freiburg-name heuristic
+        calib = os.path.join(root, "intrinsics.txt")
+        if intrinsics is None and os.path.exists(calib):
+            with open(calib) as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        fx, fy, cx, cy, w, h = line.split()[:6]
+                        intrinsics = PinholeIntrinsics(
+                            float(fx), float(fy), float(cx), float(cy),
+                            int(w), int(h))
+                        break
         self.intrinsics = intrinsics or TUM_INTRINSICS[fr]
         self.depth_index = self._read_index(os.path.join(root, "depth.txt"))
         rgb_path = os.path.join(root, "rgb.txt")
@@ -190,7 +204,15 @@ class SyntheticRigDataset:
                  max_depth: float = 20.0,
                  depth_scale: float = 0.001,
                  noise_std: float = 0.0,
+                 noise_quad: float = 0.0,
+                 dropout: float = 0.0,
+                 dropout_per_m: float = 0.0,
                  seed: int = 0):
+        """``noise_std``/``noise_quad``: depth noise sigma(z) = std +
+        quad * z^2 meters (the quadratic term models stereo/structured-
+        light depth cameras, e.g. RealSense ~0.001-0.003 * z^2).
+        ``dropout``/``dropout_per_m``: hole probability p(z) = dropout +
+        dropout_per_m * z (invalid returns grow with range)."""
         self.intr = intrinsics
         self.spheres = list(spheres)
         self.boxes = list(boxes)
@@ -198,6 +220,9 @@ class SyntheticRigDataset:
         self.max_depth = max_depth
         self.depth_scale = depth_scale
         self.noise_std = noise_std
+        self.noise_quad = noise_quad
+        self.dropout = dropout
+        self.dropout_per_m = dropout_per_m
         self._rng = np.random.default_rng(seed)
         # camera-frame ray directions (z forward, pinhole)
         h, w = intrinsics.height, intrinsics.width
@@ -210,9 +235,17 @@ class SyntheticRigDataset:
     def render(self, tf_world_cam: np.ndarray):
         """(depth_u16 [H, W], intensity [H, W] float32): depth plus a
         checkerboard world-texture intensity image (corners on surfaces,
-        not depth edges — good features for the SLAM frontend)."""
+        not depth edges — good features for the SLAM frontend).
+
+        The intensity is rendered from the NOISE-FREE geometry: an RGB
+        camera sees clean texture even when the (stereo) depth channel is
+        noisy — baking depth noise into the texture would make it flicker
+        frame-to-frame, which no real sensor does."""
         depth = self.render_depth(tf_world_cam)
-        z = depth.astype(np.float64) * self.depth_scale
+        clean = self.render_depth(tf_world_cam, with_noise=False) \
+            if (self.noise_std or self.noise_quad or self.dropout
+                or self.dropout_per_m) else depth
+        z = clean.astype(np.float64) * self.depth_scale
         r = tf_world_cam[:3, :3].astype(np.float64)
         t = tf_world_cam[:3, 3].astype(np.float64)
         pts_cam = self._rays * z[..., None]
@@ -221,11 +254,12 @@ class SyntheticRigDataset:
                    + np.floor(pts_world[..., 1] * 2.5)
                    + np.floor(pts_world[..., 2] * 2.5)) % 2
         fine = (np.floor(pts_world[..., 0] * 7 + pts_world[..., 1] * 3) % 2)
-        intensity = np.where(depth > 0,
+        intensity = np.where(clean > 0,
                              60 + 120 * checker + 40 * fine, 0.0)
         return depth, intensity.astype(np.float32)
 
-    def render_depth(self, tf_world_cam: np.ndarray) -> np.ndarray:
+    def render_depth(self, tf_world_cam: np.ndarray,
+                     with_noise: bool = True) -> np.ndarray:
         """[H, W] uint16 depth (z-depth, like a depth camera) for a camera
         at the given world<-camera pose."""
         r = tf_world_cam[:3, :3].astype(np.float64)
@@ -263,8 +297,12 @@ class SyntheticRigDataset:
 
         # convert ray distance to camera z-depth: z = t * (ray.z == 1 in cam)
         z = np.where(np.isfinite(tmin), tmin, 0.0)
-        if self.noise_std > 0:
+        if with_noise and (self.noise_std > 0 or self.noise_quad > 0):
+            sigma = self.noise_std + self.noise_quad * z * z
             z = np.where(z > 0,
-                         z + self._rng.normal(0, self.noise_std, z.shape), z)
+                         z + self._rng.standard_normal(z.shape) * sigma, z)
+        if with_noise and (self.dropout > 0 or self.dropout_per_m > 0):
+            p = self.dropout + self.dropout_per_m * z
+            z = np.where(self._rng.random(z.shape) < p, 0.0, z)
         z = np.where((z > 0) & (z < self.max_depth), z, 0.0)
         return np.clip(z / self.depth_scale, 0, 65535).astype(np.uint16)

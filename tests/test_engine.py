@@ -234,3 +234,15 @@ def test_engine_pipelined_matches_sync():
                                       np.asarray(b.fused_points))
         np.testing.assert_array_equal(np.asarray(a.occupancy_u8),
                                       np.asarray(b.occupancy_u8))
+
+
+def test_frame_inputs_defaults_match_config():
+    """FrameInputs NamedTuple defaults must equal the FusionConfig defaults
+    (they are duplicated constants; this ties them together — ADVICE r2)."""
+    from ros_gpu_depthmap_fusion_tpu.pipeline.engine import FrameInputs
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    cfg = FusionConfig()
+    d = FrameInputs._field_defaults
+    assert d["fp_threshold"] == cfg.flyingpixels_filter_threshold
+    assert d["fp_max_distance"] == cfg.flyingpixels_max_distance
+    assert d["ps_threshold"] == cfg.point_sequence_filter_threshold

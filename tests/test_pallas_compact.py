@@ -48,8 +48,9 @@ def test_rle_reduce_matches_oracle():
         keys = np.array(keys[:n], np.int32)
         vals = rng.integers(0, 100, (n, 4)).astype(np.float32)
         exp = _rle_oracle(keys, vals, sent)
-        ko, so, cnt = rle_reduce_pallas(
+        ko, so, cnt, true_cnt = rle_reduce_pallas(
             jnp.asarray(keys), jnp.asarray(vals), cap, sent, interpret=True)
+        assert int(true_cnt) == len(exp)
         ko, so, cnt = np.asarray(ko), np.asarray(so), int(cnt)
         m = min(len(exp), cap)
         assert cnt == m
@@ -62,9 +63,10 @@ def test_rle_reduce_matches_oracle():
 def test_rle_reduce_overflow_clamps():
     keys = np.repeat(np.arange(100, dtype=np.int32), 3)
     vals = np.ones((300, 1), np.float32)
-    ko, so, cnt = rle_reduce_pallas(
+    ko, so, cnt, true_cnt = rle_reduce_pallas(
         jnp.asarray(keys), jnp.asarray(vals), 16, 1 << 20, interpret=True)
     assert int(cnt) == 16
+    assert int(true_cnt) == 100  # overflow observable: true count unclamped
     np.testing.assert_array_equal(np.asarray(ko), np.arange(16))
     np.testing.assert_array_equal(np.asarray(so)[:, 0], np.full(16, 3.0))
 
