@@ -116,7 +116,7 @@ def main():
              mm.astype(p.dtype)[:, None]], axis=-1)
         return rle_reduce_pallas(key, vals, cap, sentinel)
 
-    pk, ps, cnt = jax.jit(lambda p, i, mm: level1(p, i, mm, n_depth // 4))(
+    pk, ps, cnt, _ = jax.jit(lambda p, i, mm: level1(p, i, mm, n_depth // 4))(
         pts, ids, mask)
     true_runs = int(cnt)
     print(f"TRUE level-1 run count (depth, bench scene): {true_runs} "
@@ -154,6 +154,66 @@ def main():
     t("historic update + u8 pack",
       lambda h, f: occupancy_to_u8(update_historic_occupancy(h, f, 10)),
       occ, fr)
+
+    # --- THE FULL FUSED PACKET STEP at the bench operating point ---
+    from ros_gpu_depthmap_fusion_tpu.pipeline.engine import (
+        FusionEngine, initial_state)
+    from ros_gpu_depthmap_fusion_tpu.core import transforms as T
+
+    def fused_step_ms(name, cfg2, lidar=True, iters=10):
+        eng = FusionEngine(cfg2, pipeline_depth=0)
+        intr2 = PinholeIntrinsics.default_for(cfg2.depth_width,
+                                              cfg2.depth_height)
+        d8 = np.broadcast_to(
+            depth[0, :cfg2.depth_height, :cfg2.depth_width],
+            (cfg2.num_depth_streams, cfg2.depth_height, cfg2.depth_width))
+        for i in range(cfg2.num_depth_streams):
+            eng.add_depthmap(i, d8[i], intr2, np.asarray(cams[i]),
+                             np.asarray(cams[i]))
+        if lidar and cfg2.num_point_sequences:
+            tl = np.linspace(0, np.pi, 8192)
+            for s in range(cfg2.num_point_sequences):
+                arc = np.stack([6 * np.cos(tl), 6 * np.sin(tl),
+                                1 + 0.3 * np.sin(5 * tl)],
+                               axis=-1).astype(np.float32)
+                eng.add_point_sequence(arc, sec=10, nsec=0,
+                                       tf_move=np.eye(4, dtype=np.float32))
+        out = eng.process(10.0)
+        hard_sync(out.fused_count)
+        # re-stage and time the pure device step on a fixed device packet
+        for i in range(cfg2.num_depth_streams):
+            eng.add_depthmap(i, d8[i], intr2, np.asarray(cams[i]),
+                             np.asarray(cams[i]))
+        import jax as _jax
+        pktv = np.array(eng._pkt.view(eng._last_bits))
+        inp = _jax.device_put(pktv)
+        st = eng.state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, out = eng.step(st, inp, depth_bits=eng._last_bits)
+        hard_sync(out.fused_count)
+        dt = (time.perf_counter() - t0) / iters
+        print(f"{name:44s} {dt * 1e3:8.2f} ms")
+        return dt
+
+    base_kw = dict(
+        num_depth_streams=C, depth_height=H, depth_width=W,
+        num_point_sequences=2,
+        crop_min=(-20, -20, 0), crop_max=(20, 20, 2.5),
+        voxel_min=(-20, -20, 0), voxel_max=(20, 20, 2.5),
+        voxel_size=(0.1, 0.1, 0.12), voxel_occupancy_lifetime=10,
+        rollbuffer_point_capacity=98304, max_points_per_sequence=16384,
+        depth_codec_quant_shift=2, voxelize_partials_capacity=512 * 1024,
+        emit_raw_points=False)
+    fused_step_ms("FULL step (bench operating point)", FusionConfig(**base_kw))
+    fused_step_ms("FULL step (partials 384k)",
+                  FusionConfig(**{**base_kw,
+                                  "voxelize_partials_capacity": 384 * 1024}))
+    fused_step_ms("FULL step (no lidar, rb 4k)",
+                  FusionConfig(**{**base_kw, "num_point_sequences": 0,
+                                  "rollbuffer_point_capacity": 4096,
+                                  "max_points_per_sequence": 1024}),
+                  lidar=False)
 
 
 if __name__ == "__main__":

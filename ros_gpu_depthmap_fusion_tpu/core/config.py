@@ -96,6 +96,12 @@ class FusionConfig:
     # shrink by the same factor, typically dropping the code width by
     # ~shift bits. 0 (default) = lossless bit-exact round trip.
     depth_codec_quant_shift: int = 0
+    # lidar-link quantization: with step s > 0, staged sequence points ride
+    # the packet as 3 x u16 (6 bytes/point instead of 16) quantized to
+    # multiples of s over [-32768*s, +32767*s) — at the 2 mm default-ish
+    # step that spans +-65 m with error <= 1 mm, an order below lidar
+    # range noise. 0 (default) = lossless f32 xyzw staging.
+    lidar_link_quant_step: float = 0.0
 
     # also emit the compacted raw (pre-voxelize) cloud every frame. The
     # reference only builds the cloud it publishes, so pipelines that
@@ -110,6 +116,13 @@ class FusionConfig:
     object_min_area: float = 0.2 * 0.2  # m^2 in topview
     cc_max_labels_per_layer: int = 256  # static cap for per-layer CC labels
     max_objects: int = 64               # static cap for extracted objects
+    # detail pruning for the host assembly: objects whose world-xy AABB
+    # area is below this get stats-only stubs (no contours/hulls/shapes).
+    # Sound for tracking: min-area-rect area <= AABB area, so every pruned
+    # object is below object_min_area and tracking skips it anyway
+    # (cpp:2776-2777). -1 (default) = prune below object_min_area;
+    # 0 = build full detail for everything (reference behavior).
+    mapping_detail_min_area: float = -1.0
     max_tracks: int = 128               # static cap for live tracks
 
     # --- radius filter: params exist in the reference but the filter is

@@ -121,6 +121,80 @@ def _voxel_xyz_to_world(grid: VoxelGrid, pts: np.ndarray) -> np.ndarray:
     return np.asarray(pts, np.float64) * cs + lo
 
 
+class StubCCObject:
+    """Lazy stats-only object for pruned merged ids.
+
+    Duck-types the CCObject stats fields (components/layers/topview are
+    always empty; tracking skips it at the ``topview is None`` check).
+    Construction is O(1) — on cluttered grids thousands of sub-min-area
+    specks exist per frame and eagerly materializing full CCObjects for
+    them dominated the mapping cycle."""
+
+    __slots__ = ("label", "_cen", "_mn", "_mx", "_grid")
+    num_components = 0
+    num_layers = 0
+    components: tuple = ()
+    layers: tuple = ()
+    topview = None
+
+    def __init__(self, m, cen, mn, mx, grid):
+        self.label = m
+        self._cen = cen
+        self._mn = mn
+        self._mx = mx
+        self._grid = grid
+
+    @property
+    def centroid(self):
+        return (float(self._cen[0]), float(self._cen[1]))
+
+    @property
+    def min_coord_voxel(self):
+        return self._mn
+
+    @property
+    def max_coord_voxel(self):
+        return self._mx
+
+    @property
+    def center_coord_voxel(self):
+        return (self._mn + self._mx) / 2.0
+
+    @property
+    def center_coord_world(self):
+        return _voxel_xyz_to_world(self._grid, self.center_coord_voxel)
+
+    @property
+    def min_coord_world(self):
+        return _voxel_xyz_to_world(self._grid, self._mn)
+
+    @property
+    def max_coord_world(self):
+        return _voxel_xyz_to_world(self._grid, self._mx)
+
+    @property
+    def aabb_size_voxel(self):
+        return self._mx - self._mn
+
+    @property
+    def aabb_size_world(self):
+        return self.max_coord_world - self.min_coord_world
+
+
+_STUB_ZEROS3 = np.zeros(3, np.int64)
+
+
+def _stats_stub(m: int, voxel_count, centroid, vmin, vmax,
+                grid: VoxelGrid) -> StubCCObject:
+    """Stats-only stub (no components/layers/topview)."""
+    inb = m < len(vmin)
+    return StubCCObject(
+        m,
+        centroid[m] if m < len(centroid) else _STUB_ZEROS3,
+        vmin[m] if inb else _STUB_ZEROS3,
+        vmax[m] if inb else _STUB_ZEROS3, grid)
+
+
 def build_objects(labels: np.ndarray,
                   num_labels: np.ndarray,
                   merged_of_label: np.ndarray,
@@ -131,7 +205,9 @@ def build_objects(labels: np.ndarray,
                   vmax: np.ndarray,
                   grid: VoxelGrid,
                   with_contours: bool = True,
-                  background_full: bool = False) -> List[CCObject]:
+                  background_full: bool = False,
+                  detail_mask: Optional[np.ndarray] = None
+                  ) -> List[CCObject]:
     """Assemble CCObjects from (host copies of) the segmentation outputs.
 
     Args:
@@ -140,13 +216,54 @@ def build_objects(labels: np.ndarray,
         background_full: build contours/layers for the background object too
             (the reference does; it is then skipped by tracking). Default
             False keeps index 0 as a stats-only stub to save host time.
+        detail_mask: optional ``[num_merged]`` bool — objects with False
+            get stats-only stubs (no contours/hulls/shapes). The mapping
+            pipeline prunes objects below ``object_min_area`` this way:
+            they are provably skipped by tracking (min-rect area <= AABB
+            area), and on cluttered/noisy grids the speck objects dominate
+            assembly cost by an order of magnitude.
     """
     if with_contours and not background_full:
-        res = native.assemble_objects(labels, merged_of_label, num_merged,
-                                      grid.cell_size[:2], grid.lower[:2])
-        if res is not None:
-            return _assemble_from_native(res, num_merged, voxel_count,
-                                         centroid, vmin, vmax, grid)
+        if detail_mask is not None:
+            keep = np.flatnonzero(np.asarray(detail_mask)[:num_merged])
+            keep = keep[keep > 0].astype(np.int64)
+            remap = np.zeros(max(num_merged, 1), np.int32)
+            remap[keep] = np.arange(1, len(keep) + 1, dtype=np.int32)
+            lut_small = remap[np.clip(merged_of_label, 0, num_merged - 1)]
+            k1 = len(keep) + 1
+
+            def _take(a, fill=0):
+                out = np.zeros((k1,) + np.asarray(a).shape[1:],
+                               np.asarray(a).dtype)
+                ok = keep < len(a)
+                out[1:][ok] = np.asarray(a)[keep[ok]]
+                return out
+
+            res = native.assemble_objects(labels, lut_small, k1,
+                                          grid.cell_size[:2], grid.lower[:2])
+            if res is not None:
+                detailed = _assemble_from_native(
+                    res, k1, _take(voxel_count), _take(centroid),
+                    _take(vmin), _take(vmax), grid)
+                by_old = {int(old): detailed[new]
+                          for new, old in enumerate(keep, start=1)}
+                out = []
+                for m in range(int(num_merged)):
+                    obj = by_old.get(m)
+                    if obj is not None:
+                        obj.label = m
+                        out.append(obj)
+                    else:
+                        out.append(_stats_stub(m, voxel_count, centroid,
+                                               vmin, vmax, grid))
+                return out
+        else:
+            res = native.assemble_objects(labels, merged_of_label,
+                                          num_merged, grid.cell_size[:2],
+                                          grid.lower[:2])
+            if res is not None:
+                return _assemble_from_native(res, num_merged, voxel_count,
+                                             centroid, vmin, vmax, grid)
 
     z_layers, h, w = labels.shape
     objects: List[CCObject] = []
@@ -159,7 +276,8 @@ def build_objects(labels: np.ndarray,
         cen = centroid[m] if m < len(centroid) else np.zeros(3)
         mn = vmin[m].astype(np.int64) if m < len(vmin) else np.zeros(3, int)
         mx = vmax[m].astype(np.int64) if m < len(vmax) else np.zeros(3, int)
-        detail = with_contours and (m > 0 or background_full)
+        detail = with_contours and (m > 0 or background_full) and (
+            detail_mask is None or bool(detail_mask[m]))
 
         components: List[ObjectComponent] = []
         layer_objs: List[ObjectLayer] = []

@@ -84,8 +84,14 @@ class MappingPipeline:
 
     def _segment_host(self, occ: np.ndarray) -> dict:
         from ros_gpu_depthmap_fusion_tpu.utils import native
+        # the host backend has no static-shape constraint, so stats cover
+        # EVERY merged id (the device program clamps ids to max_objects-1,
+        # which under heavy clutter both loses stats for late real objects
+        # and pollutes the last slot); Z*max_labels bounds the id space
+        host_cap = max(self.cfg.max_objects,
+                       occ.shape[0] * self.cfg.cc_max_labels_per_layer)
         res = native.segment_grid(occ, self.cfg.cc_max_labels_per_layer,
-                                  self.cfg.max_objects)
+                                  host_cap)
         if res is None:  # no native library: fall back to device
             seg = jax.device_get(self._segment(jnp.asarray(occ)))
             res = dict(labels=seg.labels, num_labels=seg.num_labels,
@@ -94,6 +100,28 @@ class MappingPipeline:
                        voxel_count=seg.voxel_count, centroid=seg.centroid,
                        vmin=seg.vmin, vmax=seg.vmax)
         return res
+
+    def _detail_mask(self, res: dict) -> Optional[np.ndarray]:
+        """Detail-pruning mask: objects whose world-xy AABB area is below
+        the threshold get stats-only stubs. Sound for the tracking
+        consumer: the topview min-area rect is contained in the AABB, so
+        its area is <= the AABB area and every pruned object fails the
+        ``object_min_area`` gate (cpp:2776-2777) regardless."""
+        thr = self.cfg.mapping_detail_min_area
+        if thr < 0:
+            thr = self.cfg.object_min_area
+        if thr <= 0:
+            return None
+        nm = int(res["num_merged"])
+        vmin, vmax = np.asarray(res["vmin"]), np.asarray(res["vmax"])
+        n = min(nm, len(vmin))
+        cs = np.asarray(self.grid.cell_size, np.float64)
+        ext = (vmax[:n] - vmin[:n] + 1).astype(np.float64)
+        area = ext[:, 0] * cs[0] * ext[:, 1] * cs[1]
+        mask = np.zeros(nm, bool)
+        mask[:n] = (area >= thr) & (np.asarray(
+            res["voxel_count"])[:n] > 0)
+        return mask
 
     def fetch_occupancy(self, occupancy_u8: jnp.ndarray) -> np.ndarray:
         """Device->host transfer of the binarized occupancy as a bitmap
@@ -130,7 +158,8 @@ class MappingPipeline:
             num_merged=int(res["num_merged"]),
             voxel_count=res["voxel_count"], centroid=res["centroid"],
             vmin=res["vmin"], vmax=res["vmax"], grid=self.grid,
-            with_contours=with_contours)
+            with_contours=with_contours,
+            detail_mask=self._detail_mask(res))
         stats = track_objects(objects, self.tracks,
                               self.cfg.object_min_area, dt,
                               max_tracks=self.cfg.max_tracks)

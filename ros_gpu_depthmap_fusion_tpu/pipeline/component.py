@@ -60,15 +60,38 @@ class FusionComponent:
         self._tf_world_move = np.eye(4, dtype=np.float32)
         self._tf_crop_move = np.eye(4, dtype=np.float32)
         self.frames_processed = 0
+        # per-slot CameraInfo state (cpp:131-135); images arriving before
+        # the slot's intrinsics are dropped (guard at _component.cpp:118)
+        self._camera_info: List[Optional[PinholeIntrinsics]] = (
+            [None] * cfg.num_depth_streams)
+        self.frames_skipped_no_intrinsics = 0
 
     # ------ subscriptions -------------------------------------------------
+    def callback_camera_info(self, slot: int,
+                             intrinsics: PinholeIntrinsics) -> None:
+        """CameraInfo for a stream slot (reference ``in/CameraInfo/N``
+        subscription, _component.cpp:131-135,1398-1405). Depth images on a
+        slot are processed only once its intrinsics are known."""
+        self._camera_info[slot] = intrinsics
+
     def callback_depthmap(self, slot: int, stamp: float,
                           depth_u16: np.ndarray,
-                          intrinsics: PinholeIntrinsics,
-                          tf_world_cam: np.ndarray,
+                          intrinsics: Optional[PinholeIntrinsics] = None,
+                          tf_world_cam: np.ndarray = None,
                           tf_crop_cam: Optional[np.ndarray] = None):
         """One depth image arriving on a stream slot. Emits a processing
-        step when the sync policy fires (or stashes under resampling)."""
+        step when the sync policy fires (or stashes under resampling).
+
+        ``intrinsics`` may ride with the image (synthetic/dataset sources)
+        or arrive separately via :meth:`callback_camera_info`; an image on
+        a slot with no intrinsics from either source is SKIPPED, mirroring
+        the reference's guard (``_component.cpp:118``: images before the
+        first CameraInfo are dropped, not processed with garbage)."""
+        if intrinsics is None:
+            intrinsics = self._camera_info[slot]
+        if intrinsics is None:
+            self.frames_skipped_no_intrinsics += 1
+            return None
         if tf_crop_cam is None:
             tf_crop_cam = tf_world_cam
         msg = DepthMessage(depth_u16, intrinsics, tf_world_cam, tf_crop_cam)

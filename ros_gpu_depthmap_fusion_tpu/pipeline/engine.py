@@ -417,8 +417,15 @@ class FusionEngine:
             return
         pkt = self._pkt
         sl = slice(self._seq_fill, self._seq_fill + n)
-        native.stage_points_xyz(np.asarray(points_xyz[:n], np.float32),
-                                pkt.seq_points[sl])
+        qs = self.layout.seq_quant_step
+        if qs:
+            # 3 x u16 link quantization (error <= qs/2, span +-32768*qs)
+            q = np.asarray(points_xyz[:n], np.float32)[:, :3] / qs + 32768.0
+            np.clip(np.rint(q), 0, 65535, out=q)
+            pkt.seq_points_q[sl] = q.astype(np.uint16)
+        else:
+            native.stage_points_xyz(np.asarray(points_xyz[:n], np.float32),
+                                    pkt.seq_points[sl])
         i = self._num_seqs
         pkt.seq_sec[i], pkt.seq_nsec[i], pkt.seq_count[i] = sec, nsec, n
         pkt.seq_tf[i] = np.asarray(tf_move, np.float32)

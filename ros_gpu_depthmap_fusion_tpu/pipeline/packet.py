@@ -75,6 +75,9 @@ class PacketLayout(NamedTuple):
     off_exc_idx: int
     off_exc_zz: int
     off_tail: int
+    # lidar-link quantization step (0 = f32 xyzw staging; s > 0 = points
+    # ride as 3 x u16 multiples of s over [-32768*s, +32767*s))
+    seq_quant_step: float = 0.0
 
     @classmethod
     def for_config(cls, cfg: FusionConfig, seq_cap: int,
@@ -82,6 +85,9 @@ class PacketLayout(NamedTuple):
         c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
         rows = c * h
         e = cfg.depth_codec_max_exceptions
+        qs = float(getattr(cfg, "lidar_link_quant_step", 0.0) or 0.0)
+        seq_pt_words = (stage_cap * 4 if qs == 0.0
+                        else (stage_cap * 3 + 1) // 2)
         off = 10
         f = {}
         for name, size in (
@@ -89,13 +95,14 @@ class PacketLayout(NamedTuple):
                 ("tf_world_move", 16), ("tf_crop_move", 16),
                 ("seq_sec", seq_cap), ("seq_nsec", seq_cap),
                 ("seq_count", seq_cap), ("seq_tf", seq_cap * 16),
-                ("seq_points", stage_cap * 4),
+                ("seq_points", seq_pt_words),
                 ("row_first", (rows + 1) // 2),
                 ("exc_idx", e), ("exc_zz", e)):
             f["off_" + name] = off
             off += size
         return cls(c=c, h=h, w=w, rows=rows, seq_cap=seq_cap,
-                   stage_cap=stage_cap, exc_cap=e, off_tail=off, **f)
+                   stage_cap=stage_cap, exc_cap=e, off_tail=off,
+                   seq_quant_step=qs, **f)
 
     def tail_words(self, bits: Optional[int]) -> int:
         if bits is None:  # raw u16 depth pairs
@@ -135,8 +142,15 @@ class HostPacket:
         self.seq_nsec = i32(lo.off_seq_nsec, lo.seq_cap)
         self.seq_count = i32(lo.off_seq_count, lo.seq_cap)
         self.seq_tf = f32(lo.off_seq_tf, lo.seq_cap * 16, (lo.seq_cap, 4, 4))
-        self.seq_points = f32(lo.off_seq_points, lo.stage_cap * 4,
-                              (lo.stage_cap, 4))
+        if lo.seq_quant_step:
+            nw = (lo.stage_cap * 3 + 1) // 2
+            self.seq_points_q = b[lo.off_seq_points:lo.off_seq_points + nw] \
+                .view(np.uint16)[: lo.stage_cap * 3].reshape(lo.stage_cap, 3)
+            self.seq_points = None
+        else:
+            self.seq_points = f32(lo.off_seq_points, lo.stage_cap * 4,
+                                  (lo.stage_cap, 4))
+            self.seq_points_q = None
         n_rf = (lo.rows + 1) // 2
         self.row_first = b[lo.off_row_first:lo.off_row_first + n_rf].view(
             np.uint16)[: lo.rows]
@@ -206,9 +220,21 @@ def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
     pt_iota = jnp.arange(lo.stage_cap, dtype=jnp.int32)
     seq_idx = jnp.sum(pt_iota[:, None] >= ends[None, :],
                       axis=1).astype(jnp.int32)
+    if lo.seq_quant_step:
+        nw = (lo.stage_cap * 3 + 1) // 2
+        qstream = unpack_depth_pairs(
+            b[lo.off_seq_points:lo.off_seq_points + nw])
+        q = qstream[: lo.stage_cap * 3].reshape(lo.stage_cap, 3) \
+            .astype(jnp.float32)
+        step = jnp.float32(lo.seq_quant_step)
+        xyz = q * step - jnp.float32(32768.0 * lo.seq_quant_step)
+        seq_points = jnp.concatenate(
+            [xyz, jnp.ones((lo.stage_cap, 1), jnp.float32)], axis=-1)
+    else:
+        seq_points = _f32(b, lo.off_seq_points, lo.stage_cap * 4,
+                          (lo.stage_cap, 4))
     seq_batch = SequenceBatch(
-        points=_f32(b, lo.off_seq_points, lo.stage_cap * 4,
-                    (lo.stage_cap, 4)),
+        points=seq_points,
         seq_idx=seq_idx,
         seq_sec=_i32(b, lo.off_seq_sec, lo.seq_cap),
         seq_nsec=_i32(b, lo.off_seq_nsec, lo.seq_cap),

@@ -231,3 +231,64 @@ def test_viz_wireframes():
     t.score_filter.correct(1.0, [0.0])
     t.score_filter.correct(1.0, [0.0])
     assert len(track_wireframes([t])) == 0  # below display gate
+
+
+def test_component_skips_frames_without_intrinsics():
+    """Reference guard parity (_component.cpp:118): depth images arriving
+    before the slot's CameraInfo are dropped, and processed once it's
+    known (via callback_camera_info)."""
+    cfg = FusionConfig(
+        num_depth_streams=1, depth_height=16, depth_width=24,
+        resample_rate=0.0,
+        crop_min=(-6, -6, -6), crop_max=(6, 6, 6),
+        voxel_min=(-6, -6, -6), voxel_max=(6, 6, 6),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=64, rollbuffer_seq_capacity=8,
+        max_points_per_sequence=32)
+    comp = FusionComponent(cfg)
+    eye = np.eye(4, dtype=np.float32)
+    depth = np.full((16, 24), 2000, np.uint16)
+    # no intrinsics from any source -> skipped, not processed
+    assert comp.callback_depthmap(0, 1.0, depth, None, eye) is None
+    assert comp.frames_skipped_no_intrinsics == 1
+    assert comp.frames_processed == 0
+    # CameraInfo arrives -> subsequent images process
+    comp.callback_camera_info(0, PinholeIntrinsics.default_for(24, 16))
+    out = comp.callback_depthmap(0, 1.1, depth, None, eye)
+    assert out is not None and comp.frames_processed == 1
+    assert comp.frames_skipped_no_intrinsics == 1
+
+
+def test_viz_optional_payloads():
+    """The four disabled viz blocks (_component.cpp:528-762) as
+    renderer-agnostic builders."""
+    from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+    from ros_gpu_depthmap_fusion_tpu.mapping.pipeline import MappingPipeline
+    from ros_gpu_depthmap_fusion_tpu.utils import viz
+    cfg = FusionConfig(
+        num_depth_streams=1, depth_height=8, depth_width=8,
+        crop_min=(0, 0, 0), crop_max=(8, 8, 2),
+        voxel_min=(0, 0, 0), voxel_max=(8, 8, 2),
+        voxel_size=(1.0, 1.0, 1.0), segmentation_backend="device")
+    grid = VoxelGrid.from_config(cfg)
+    occ = np.zeros(grid.num_cells, np.uint8)
+    z, y, x = grid.shape_zyx
+    g = occ.reshape(z, y, x)
+    g[0, 1:4, 1:4] = 1   # one object spanning two layers
+    g[1, 2:4, 2:4] = 1
+    g[0, 6:8, 6:8] = 1   # a second single-layer object
+    pipe = MappingPipeline(cfg, grid)
+    res = pipe.process(jnp.asarray(occ))
+    objs = res.objects
+    assert len(objs) >= 3  # background + 2
+    pts = viz.layer_centroid_points(objs, grid)
+    assert pts.ndim == 2 and pts.shape[1] == 3 and len(pts) >= 3
+    conn = viz.layer_connection_lines(objs, grid)
+    assert conn.points.shape[1:] == (2, 3) and len(conn.points) >= 1
+    texts = viz.object_id_texts(objs)
+    assert len(texts) == len(objs) - 1
+    aabbs = viz.object_aabb_wireframes(objs)
+    assert all(m.points.shape == (12, 2, 3) for m in aabbs)
+    minboxes = viz.object_min_box_wireframes(objs)
+    assert len(minboxes) == len(objs) - 1
+    assert all(m.points.shape == (12, 2, 3) for m in minboxes)

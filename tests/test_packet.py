@@ -89,3 +89,42 @@ def test_packet_roundtrip_encoded_and_raw():
     inp2 = jax.jit(lambda p: unpack_packet(p, layout, None))(
         jnp.asarray(pkt.view(None)))
     np.testing.assert_array_equal(np.asarray(inp2.depth), depth)
+
+
+def test_lidar_link_quantization_roundtrip():
+    """lidar_link_quant_step: staged sequence points ride as 3 x u16 and
+    dequantize within step/2 per axis; the engine path end-to-end matches
+    the lossless staging within that bound."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.pipeline.engine import FusionEngine
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+
+    kw = dict(
+        num_depth_streams=1, depth_height=8, depth_width=12,
+        num_point_sequences=1, point_sequence_filter_threshold=0.0,
+        crop_min=(-8, -8, -8), crop_max=(8, 8, 8),
+        voxel_min=(-8, -8, -8), voxel_max=(8, 8, 8),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=64, rollbuffer_seq_capacity=8,
+        max_points_per_sequence=32, emit_raw_points=True)
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-6, 6, size=(20, 3)).astype(np.float32)
+    depth = np.zeros((8, 12), np.uint16)
+    intr = PinholeIntrinsics.default_for(12, 8)
+    eye = np.eye(4, dtype=np.float32)
+
+    outs = {}
+    for step in (0.0, 0.002):
+        eng = FusionEngine(FusionConfig(**kw, lidar_link_quant_step=step))
+        eng.add_depthmap(0, depth, intr, eye, eye)
+        eng.add_point_sequence(pts, sec=10, nsec=0, tf_move=eye)
+        out = eng.process(10.0)
+        n = int(out.raw_count)
+        assert n == 20
+        outs[step] = np.asarray(out.raw_points)[:n]
+    # same point order; each axis within step/2
+    d = np.abs(outs[0.0][:, :3] - outs[0.002][:, :3])
+    assert d.max() <= 0.001 + 1e-6
+    np.testing.assert_array_equal(outs[0.0][:, 3], outs[0.002][:, 3])
