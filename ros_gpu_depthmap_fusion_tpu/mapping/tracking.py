@@ -156,24 +156,78 @@ def track_objects(objects: List[CCObject],
     assigned_track = [-2] * num_objects  # -2 ignore, -1 new track
     comparisons = {}
 
-    for oid in range(num_objects):
-        if oid == 0:
-            continue  # background
+    # gate objects (background 0, no topview, tiny area — cpp:2776-2777)
+    gated = []
+    for oid in range(1, num_objects):
         obj = objects[oid]
         if obj.topview is None:
             continue
         if obj.topview.shapes.world.box.area() < min_area:
             continue
         assigned_track[oid] = -1
-        best_score = 0.0
-        for tid in range(num_tracks):
-            comp = TrackComparison(tracks[tid], obj)
-            comparisons[(oid, tid)] = comp
-            if not tracks[tid].is_acceptable(comp):
+        gated.append(oid)
+
+    # all (object, track) comparisons at once (identical arithmetic to
+    # TrackComparison, batched: per-comparison numpy overhead dominated
+    # the cycle under clutter). Comparison records are materialized only
+    # for the pairs the assignment actually uses.
+    if gated and num_tracks:
+        obj_boxes = [objects[oid].topview.shapes.world.box
+                     for oid in gated]
+        pb = np.stack([np.asarray(b.points(), np.float64)
+                       for b in obj_boxes])                    # [O, 4, 2]
+        cb = np.stack([np.asarray(b.center, np.float64)
+                       for b in obj_boxes])                    # [O, 2]
+        sb = np.stack([np.asarray(b.size, np.float64)
+                       for b in obj_boxes])
+        trk_boxes = [t.rrect_filter.rrect for t in tracks]
+        pa = np.stack([np.asarray(r.points(), np.float64)
+                       for r in trk_boxes])                    # [T, 4, 2]
+        ca = np.stack([np.asarray(r.center, np.float64)
+                       for r in trk_boxes])
+        sa = np.stack([np.asarray(r.size, np.float64)
+                       for r in trk_boxes])
+        cd = ca[None, :, :] - cb[:, None, :]
+        center_dist = np.hypot(cd[..., 0], cd[..., 1])         # [O, T]
+        ridx = (np.arange(4)[None, :] + np.arange(4)[:, None]) % 4
+        pb_rolled = pb[:, ridx]                                # [O, 4r, 4, 2]
+        d = pa[None, :, None, :, :] - pb_rolled[:, None]       # [O,T,4r,4,2]
+        dists = np.hypot(d[..., 0], d[..., 1])                 # [O, T, 4r, 4]
+        mean_d = dists.mean(-1)                                # [O, T, 4r]
+        best_roll_m = np.argmin(mean_d, axis=-1)               # first min
+        mean_best = np.take_along_axis(
+            mean_d, best_roll_m[..., None], -1)[..., 0]        # [O, T]
+        area_a = sa[:, 0] * sa[:, 1]
+        area_b = sb[:, 0] * sb[:, 1]
+        area_diff = np.abs(area_a[None, :] - area_b[:, None])
+        score_m = -(TrackComparison.W_CENTER * center_dist
+                    + TrackComparison.W_PTS * mean_best
+                    + TrackComparison.W_AREA * area_diff)
+        # is_acceptable gates (cpp:2607-2631)
+        tsize = sa.sum(1)[None, :]
+        osize = sb.sum(1)[:, None]
+        reject = (((area_a[None, :] > 0.5)
+                   & (area_diff > area_a[None, :] * 0.5))
+                  | (center_dist > 0.5 * (tsize + osize))
+                  | (center_dist > 2.5) | (mean_best > 2.5))
+
+        class _Comp:
+            __slots__ = ("score", "best_roll")
+
+            def __init__(self, score, best_roll):
+                self.score = score
+                self.best_roll = best_roll
+
+        for k, oid in enumerate(gated):
+            accs = np.flatnonzero(~reject[k])
+            if not len(accs):
                 continue
-            if assigned_track[oid] < 0 or comp.score > best_score:
-                best_score = comp.score
-                assigned_track[oid] = tid
+            # first acceptable, then strictly-greater replacement ==
+            # first-occurrence argmax over the acceptable set
+            tid = int(accs[np.argmax(score_m[k, accs])])
+            assigned_track[oid] = tid
+            comparisons[(oid, tid)] = _Comp(float(score_m[k, tid]),
+                                            int(best_roll_m[k, tid]))
 
     # each track keeps its best object
     best_object = [-1] * num_tracks

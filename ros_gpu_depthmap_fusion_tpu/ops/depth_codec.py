@@ -63,15 +63,27 @@ def decode_depth(enc: EncodedDepth, height: int, width: int,
     n = c * h * width
     esc = (1 << bits) - 1
 
-    # gather-free bit unpack: explode words to a bit tensor (pure
-    # shifts + reshapes, so XLA lowers to fused vector ops), then
-    # recombine each pixel's `bits`-wide field with a weighted sum
-    bit_lanes = (enc.words[..., None]
-                 >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
-    bit_stream = bit_lanes.reshape(c, h, wpr * 32)[..., :width * bits]
-    fields = bit_stream.reshape(c, h, width, bits).astype(jnp.int32)
-    weights = jnp.asarray(1 << np.arange(bits, dtype=np.int64), jnp.int32)
-    codes = jnp.sum(fields * weights, axis=-1)
+    if 32 % bits == 0:
+        # aligned fast path (B in {2, 4, 8, 16}): every field lives inside
+        # one word, so one shift+mask per pixel recovers it — 1/32 the
+        # intermediate volume of the generic bit-explode below
+        ppw = 32 // bits
+        fields32 = (enc.words[..., None]
+                    >> (jnp.arange(ppw, dtype=jnp.uint32)
+                        * jnp.uint32(bits))) & jnp.uint32((1 << bits) - 1)
+        codes = fields32.reshape(c, h, wpr * ppw)[..., :width] \
+            .astype(jnp.int32)
+    else:
+        # gather-free bit unpack: explode words to a bit tensor (pure
+        # shifts + reshapes, so XLA lowers to fused vector ops), then
+        # recombine each pixel's `bits`-wide field with a weighted sum
+        bit_lanes = (enc.words[..., None]
+                     >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+        bit_stream = bit_lanes.reshape(c, h, wpr * 32)[..., :width * bits]
+        fields = bit_stream.reshape(c, h, width, bits).astype(jnp.int32)
+        weights = jnp.asarray(1 << np.arange(bits, dtype=np.int64),
+                              jnp.int32)
+        codes = jnp.sum(fields * weights, axis=-1)
 
     is_hole = codes == esc
     zz_stream = jnp.where(is_hole, 0, codes)

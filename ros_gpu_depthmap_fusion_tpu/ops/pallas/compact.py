@@ -86,7 +86,8 @@ def _emit_slabs(vals, tgt, total, base_slabs, is_last,
     folded into ``vals`` — per-slab VPU work drops from SLAB*BN to ~BN
     (measured: the unfactored compare dominated the whole kernel).
     """
-    col = jax.lax.broadcasted_iota(jnp.int32, (SLAB, BN), 0).astype(
+    bn = vals.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (SLAB, bn), 0).astype(
         jnp.float32)
     q = jnp.floor(tgt * (1.0 / SLAB))          # slab index of each element
     r = tgt - q * SLAB

@@ -54,7 +54,7 @@ from ros_gpu_depthmap_fusion_tpu.ops.pallas.compact import (
 
 def _kernel(planes_ref, out_ref, cnt_ref,
             residue, slab_scr, run_carry, carry, sems, *,
-            n_blocks, cap_pad, sentinel):
+            n_blocks, cap_pad, sentinel, bn):
     b = pl.program_id(0)
     sent = jnp.float32(sentinel)
 
@@ -70,10 +70,10 @@ def _kernel(planes_ref, out_ref, cnt_ref,
     res = carry[0]
     base_slabs = carry[1]
 
-    planes = planes_ref[0]              # [DP, BN]: row 0 keys, 1.. vals
-    keys = planes[0:1]                  # [1, BN] f32
-    vals = planes[1:]                   # [DP-1, BN]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
+    planes = planes_ref[0]              # [DP, bn]: row 0 keys, 1.. vals
+    keys = planes[0:1]                  # [1, bn] f32
+    vals = planes[1:]                   # [DP-1, bn]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
 
     carry_key = run_carry[0, 0]
     carry_sums = run_carry[1:, 0:1]     # [DP-1, 1]
@@ -94,7 +94,7 @@ def _kernel(planes_ref, out_ref, cnt_ref,
     # 2. segmented inclusive prefix sums (gate: no boundary in (i-s, i])
     g = st
     shift = 1
-    while shift < BN:
+    while shift < bn:
         live_l = lane >= shift
         gate = jnp.where(live_l, 1.0 - g, 0.0)    # f32 0/1
         acc = acc + gate * jnp.roll(acc, shift, axis=1)
@@ -108,7 +108,7 @@ def _kernel(planes_ref, out_ref, cnt_ref,
     valid = (keys != sent).astype(jnp.float32)
     brk = (keys != next_key).astype(jnp.float32)
     last_f = jnp.where(is_last, 1.0, 0.0)
-    en = valid * jnp.where(lane == BN - 1, last_f, brk)
+    en = valid * jnp.where(lane == bn - 1, last_f, brk)
 
     # inject the emitted carry row into the residue buffer at position res
     @pl.when(pre > 0)
@@ -119,8 +119,8 @@ def _kernel(planes_ref, out_ref, cnt_ref,
         residue[...] = residue[...] + jnp.where(slab_lane == res, row, 0.0)
 
     # 4. ranks + slab emission of end rows
-    incl = _prefix_incl(en, BN)
-    k_en = incl[0, BN - 1].astype(jnp.int32)
+    incl = _prefix_incl(en, bn)
+    k_en = incl[0, bn - 1].astype(jnp.int32)
     excl = incl - en
     tgt = jnp.where(en > 0.0, excl + (res + pre).astype(jnp.float32), -1.0)
     total = res + pre + k_en
@@ -130,7 +130,7 @@ def _kernel(planes_ref, out_ref, cnt_ref,
 
     # 5. carry the open run (the block's last lane)
     run_carry[:, 0:1] = jnp.concatenate(
-        [keys[:, BN - 1:], acc[:, BN - 1:]], axis=0)
+        [keys[:, bn - 1:], acc[:, bn - 1:]], axis=0)
 
     carry[0] = total % SLAB
     carry[1] = base_slabs + total // SLAB
@@ -141,13 +141,14 @@ def _kernel(planes_ref, out_ref, cnt_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("capacity", "sentinel", "interpret"))
+                   static_argnames=("capacity", "sentinel", "interpret",
+                                    "bn"))
 def _rle_pallas(planes: jnp.ndarray, capacity: int, sentinel: int,
-                interpret: bool = False):
+                interpret: bool = False, bn: int = BN):
     dp, n = planes.shape
     assert dp == DP, dp
-    n_blocks = -(-n // BN)
-    n_pad = n_blocks * BN
+    n_blocks = -(-n // bn)
+    n_pad = n_blocks * bn
     cap_pad = -(-capacity // SLAB) * SLAB + SLAB
     # pad the key plane with the sentinel so padding never forms runs;
     # per-block-contiguous layout [NB, DP, BN] (one DMA per grid step —
@@ -155,17 +156,17 @@ def _rle_pallas(planes: jnp.ndarray, capacity: int, sentinel: int,
     pad = jnp.full((dp, n_pad - n), 0.0, planes.dtype).at[0].set(
         float(sentinel))
     planes_p = jnp.concatenate([planes, pad], axis=1).reshape(
-        dp, n_blocks, BN).transpose(1, 0, 2)
+        dp, n_blocks, bn).transpose(1, 0, 2)
 
     kernel = functools.partial(_kernel, n_blocks=n_blocks, cap_pad=cap_pad,
-                               sentinel=float(sentinel))
+                               sentinel=float(sentinel), bn=bn)
     out, cnt = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((DP, cap_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, DP, BN), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, DP, bn), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
@@ -184,7 +185,7 @@ def _rle_pallas(planes: jnp.ndarray, capacity: int, sentinel: int,
 
 
 def rle_reduce_pallas(keys: jnp.ndarray, vals: jnp.ndarray, capacity: int,
-                      sentinel: int, interpret: bool = False):
+                      sentinel: int, interpret: bool = False, bn: int = BN):
     """Reduce runs of consecutive equal keys to (key, sum) rows.
 
     Args:
@@ -209,7 +210,7 @@ def rle_reduce_pallas(keys: jnp.ndarray, vals: jnp.ndarray, capacity: int,
         [keys.astype(jnp.float32)[None, :], vals.T.astype(jnp.float32),
          jnp.zeros((DP - 1 - d, n), jnp.float32)], axis=0)
     out, true_cnt = _rle_pallas(planes, capacity, int(sentinel),
-                                interpret=interpret)
+                                interpret=interpret, bn=bn)
     cnt = jnp.minimum(true_cnt, jnp.int32(capacity))
     live = jnp.arange(capacity, dtype=jnp.int32) < cnt
     out_keys = jnp.where(live, out[0, :capacity].astype(jnp.int32),

@@ -201,7 +201,10 @@ def voxelize_average_rle(points: jnp.ndarray,
                          return_occupancy: bool = False,
                          partials_capacity: int = 0,
                          interpret: bool = False,
-                         return_partials_count: bool = False):
+                         return_partials_count: bool = False,
+                         extra_points: jnp.ndarray | None = None,
+                         extra_cell_indices: jnp.ndarray | None = None,
+                         extra_mask: jnp.ndarray | None = None):
     """Mean point per occupied cell via raster RLE pre-reduction (TPU).
 
     Same quantization (and bit-identical results — all accumulated values
@@ -231,6 +234,14 @@ def voxelize_average_rle(points: jnp.ndarray,
     counts up to ~2048 (the z sum is bounded by 8191*count). Beyond that
     the accumulation orders may round differently; the mean error is
     negligible but not bitwise zero.
+
+    ``extra_*``: additional point rows WITHOUT raster coherence (the
+    engine's rollbuffer/lidar selection). They skip the level-1 raster
+    pre-reduction — which would find no runs in them — and join at the
+    partials sort as single-point rows, so the big elementwise front of
+    the pipeline runs over the depth domain only. Exact: level-2 sums are
+    integer-commutative, so merging at the partial level reproduces the
+    concatenated-input result.
     """
     from ros_gpu_depthmap_fusion_tpu.ops.pallas.segreduce import (
         rle_reduce_pallas)
@@ -253,6 +264,17 @@ def voxelize_average_rle(points: jnp.ndarray,
     # the overflow detector)
     pk, ps, _, l1_true = rle_reduce_pallas(key, vals, partials_capacity,
                                            sentinel, interpret=interpret)
+    if extra_points is not None:
+        ekey = jnp.where(extra_mask,
+                         extra_cell_indices.astype(jnp.int32),
+                         jnp.int32(sentinel))
+        eq, _ = _quantize_cell_relative(extra_points, extra_cell_indices,
+                                        grid)
+        evals = jnp.concatenate(
+            [jnp.where(extra_mask[:, None], eq, 0.0),
+             extra_mask.astype(extra_points.dtype)[:, None]], axis=-1)
+        pk = jnp.concatenate([pk, ekey])
+        ps = jnp.concatenate([ps, evals], axis=0)
     # group the partials: small sort, then the same kernel on sorted runs
     sk, s0, s1, s2, s3 = jax.lax.sort(
         (pk, ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3]), num_keys=1)
@@ -273,7 +295,12 @@ def voxelize_average_rle(points: jnp.ndarray,
     out_means = (out_corner + (mean_q + 0.5) * inv_scale) * w_col[:, None]
     out_points = jnp.concatenate([out_means, w_col[:, None]], axis=-1)
     ret = (out_points, count)
-    if return_occupancy:
+    if return_occupancy == "cells":
+        # hand back the compacted (cell, live) pair instead of scattering
+        # a dense grid here — the engine folds the scatter directly into
+        # the historic-decay update (one full-grid pass saved)
+        ret = ret + ((safe_cells, live),)
+    elif return_occupancy:
         target = jnp.where(live, safe_cells, jnp.int32(sentinel))
         occ = jnp.zeros((num_cells,), jnp.int32)
         occ = occ.at[target].max(1, mode="drop")

@@ -184,80 +184,130 @@ def fusion_step(state: EngineState,
             cfg.flyingpixels_filter_enable_rot45,
             inp.fp_max_distance)
 
-    # -- concatenate depth section + rollbuffer selection section (the
-    #    reference appends lidar after depth at m_depthmapsTotalElements) --
-    all_world = jnp.concatenate(
-        [pts_world.reshape(n_depth, 4), seq_world], axis=0)
-    all_crop = jnp.concatenate(
-        [pts_crop.reshape(n_depth, 4), seq_crop], axis=0)
-    all_mask = jnp.concatenate([dmask.reshape(n_depth), seq_valid], axis=0)
-
-    # -- 8. crop (crop-frame AABB) --
-    all_mask = crop_points(all_crop, all_mask, cfg.crop_min, cfg.crop_max)
-
-    # -- 8b. radius outlier filter (capability the reference stubs out;
-    #        disabled by default to match its effective behavior) --
-    if cfg.enable_radius_filter:
-        from ros_gpu_depthmap_fusion_tpu.ops.radius import (
-            filter_radius_outliers)
-        all_mask = filter_radius_outliers(
-            all_world, all_mask, cfg.radius_min, cfg.radius_max,
-            cfg.radius_filter_radius)
-
-    # -- 9. deterministic compaction of world points. The reference only
-    #       materializes the cloud it publishes (voxelized when the voxel
-    #       filter is on), so the raw compaction is skippable
-    #       (cfg.emit_raw_points); voxelize sorts by cell id itself and is
-    #       happy with the uncompacted masked array --
-    total_cap = n_depth + sel_cap
+    # -- resolve the voxel-mean mode up front (decides the data layout) --
+    mode = cfg.voxel_mean_mode
+    if mode == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        mode = ("rle" if on_tpu and grid.num_cells < (1 << 24)
+                else "packed")
     emit_raw = cfg.emit_raw_points or not cfg.enable_voxel_filter
-    if emit_raw:
-        raw_points, raw_count = compact(all_world, all_mask, total_cap)
-        vox_points, vox_mask = raw_points, (
-            jnp.arange(total_cap, dtype=jnp.int32) < raw_count)
-    else:
-        raw_count = jnp.minimum(jnp.sum(all_mask.astype(jnp.int32)),
-                                jnp.int32(total_cap))
-        raw_points = jnp.zeros((1, 4), all_world.dtype)
-        vox_points, vox_mask = all_world, all_mask
-
-    # -- 10. voxel coords + voxelize --
-    cell_ids = grid.cell_index_clamped(vox_points[:, :3])
-    live = vox_mask
-    fresh = None
+    # DOMAIN SPLIT (TPU rle path): the depth section never concatenates
+    # with the rollbuffer selection — the lidar rows would ride as a
+    # raster-incoherent tail through every big elementwise op and the
+    # level-1 run reduction (measured ~7 ms/frame at a 98k-point
+    # selection); instead both domains meet at the (cell, partial-sum)
+    # level inside voxelize_average_rle, which is exact (integer partial
+    # sums commute). The reference's layout — lidar appended after depth
+    # at m_depthmapsTotalElements — only existed so one kernel dispatch
+    # could cover both sections.
+    split = (cfg.enable_voxel_filter and cfg.voxel_enable_average
+             and mode == "rle" and not emit_raw
+             and not cfg.enable_radius_filter)
+    total_cap = n_depth + sel_cap
     vox_partials = jnp.int32(0)
-    if cfg.enable_voxel_filter:
-        if cfg.voxel_enable_average:
-            mode = cfg.voxel_mean_mode
-            if mode == "auto":
-                on_tpu = jax.default_backend() in ("tpu", "axon")
-                mode = ("rle" if on_tpu and grid.num_cells < (1 << 24)
-                        else "packed")
-            if mode == "rle":
-                fused_points, fused_count, fresh, vox_partials = (
-                    voxelize_average_rle(
-                        vox_points, cell_ids, live, grid, output_capacity,
-                        return_occupancy=True,
-                        partials_capacity=cfg.voxelize_partials_capacity,
-                        return_partials_count=True))
-            else:
-                vox_fn = (voxelize_average_packed if mode == "packed"
-                          else voxelize_average)
-                fused_points, fused_count, fresh = vox_fn(
-                    vox_points, cell_ids, live, grid, output_capacity,
-                    return_occupancy=True)
-        else:
-            fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
-            fused_points, fused_count = voxelize_occupied(
-                fresh, grid, output_capacity)
+    fresh = None
+    if split:
+        depth_world = pts_world.reshape(n_depth, 4)
+        depth_mask = crop_points(pts_crop.reshape(n_depth, 4),
+                                 dmask.reshape(n_depth),
+                                 cfg.crop_min, cfg.crop_max)
+        seq_valid = crop_points(seq_crop, seq_valid,
+                                cfg.crop_min, cfg.crop_max)
+        raw_count = jnp.minimum(
+            jnp.sum(depth_mask.astype(jnp.int32))
+            + jnp.sum(seq_valid.astype(jnp.int32)), jnp.int32(total_cap))
+        raw_points = jnp.zeros((1, 4), depth_world.dtype)
+        cell_ids = grid.cell_index_clamped(depth_world[:, :3])
+        seq_cell_ids = grid.cell_index_clamped(seq_world[:, :3])
+        fused_points, fused_count, occ_cells, vox_partials = (
+            voxelize_average_rle(
+                depth_world, cell_ids, depth_mask, grid, output_capacity,
+                return_occupancy="cells",
+                partials_capacity=cfg.voxelize_partials_capacity,
+                return_partials_count=True,
+                extra_points=seq_world, extra_cell_indices=seq_cell_ids,
+                extra_mask=seq_valid))
     else:
-        fused_points, fused_count = raw_points, raw_count
+        # -- concatenate depth section + rollbuffer selection section (the
+        #    reference appends lidar after depth, m_depthmapsTotalElements)
+        all_world = jnp.concatenate(
+            [pts_world.reshape(n_depth, 4), seq_world], axis=0)
+        all_crop = jnp.concatenate(
+            [pts_crop.reshape(n_depth, 4), seq_crop], axis=0)
+        all_mask = jnp.concatenate(
+            [dmask.reshape(n_depth), seq_valid], axis=0)
+
+        # -- 8. crop (crop-frame AABB) --
+        all_mask = crop_points(all_crop, all_mask, cfg.crop_min,
+                               cfg.crop_max)
+
+        # -- 8b. radius outlier filter (capability the reference stubs
+        #        out; disabled by default to match its behavior) --
+        if cfg.enable_radius_filter:
+            from ros_gpu_depthmap_fusion_tpu.ops.radius import (
+                filter_radius_outliers)
+            all_mask = filter_radius_outliers(
+                all_world, all_mask, cfg.radius_min, cfg.radius_max,
+                cfg.radius_filter_radius)
+
+        # -- 9. deterministic compaction of world points. The reference
+        #       only materializes the cloud it publishes (voxelized when
+        #       the voxel filter is on), so the raw compaction is
+        #       skippable (cfg.emit_raw_points); voxelize sorts by cell
+        #       id itself and is happy with the uncompacted masked array
+        if emit_raw:
+            raw_points, raw_count = compact(all_world, all_mask, total_cap)
+            vox_points, vox_mask = raw_points, (
+                jnp.arange(total_cap, dtype=jnp.int32) < raw_count)
+        else:
+            raw_count = jnp.minimum(jnp.sum(all_mask.astype(jnp.int32)),
+                                    jnp.int32(total_cap))
+            raw_points = jnp.zeros((1, 4), all_world.dtype)
+            vox_points, vox_mask = all_world, all_mask
+
+        # -- 10. voxel coords + voxelize --
+        cell_ids = grid.cell_index_clamped(vox_points[:, :3])
+        live = vox_mask
+        if cfg.enable_voxel_filter:
+            if cfg.voxel_enable_average:
+                if mode == "rle":
+                    fused_points, fused_count, fresh, vox_partials = (
+                        voxelize_average_rle(
+                            vox_points, cell_ids, live, grid,
+                            output_capacity, return_occupancy=True,
+                            partials_capacity=(
+                                cfg.voxelize_partials_capacity),
+                            return_partials_count=True))
+                else:
+                    vox_fn = (voxelize_average_packed if mode == "packed"
+                              else voxelize_average)
+                    fused_points, fused_count, fresh = vox_fn(
+                        vox_points, cell_ids, live, grid, output_capacity,
+                        return_occupancy=True)
+            else:
+                fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
+                fused_points, fused_count = voxelize_occupied(
+                    fresh, grid, output_capacity)
+        else:
+            fused_points, fused_count = raw_points, raw_count
 
     # -- 11. occupancy + temporal decay --
-    if fresh is None:
-        fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
-    historic = update_historic_occupancy(
-        state.historic_occupancy, fresh, cfg.voxel_occupancy_lifetime)
+    if split:
+        # fused form of update_historic_occupancy: the fresh grid is 0/1,
+        # so max(aged, fresh*lifetime) == scatter-max of `lifetime` at the
+        # occupied cells into the aged grid — one dense [num_cells] array
+        # and one full-grid pass fewer (identical result; unit-tested)
+        cells, cells_live = occ_cells
+        aged = jnp.maximum(
+            state.historic_occupancy - 1, 0)
+        target = jnp.where(cells_live, cells, jnp.int32(grid.num_cells))
+        historic = aged.at[target].max(
+            jnp.int32(cfg.voxel_occupancy_lifetime), mode="drop")
+    else:
+        if fresh is None:
+            fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
+        historic = update_historic_occupancy(
+            state.historic_occupancy, fresh, cfg.voxel_occupancy_lifetime)
     occupancy_u8 = occupancy_to_u8(historic)
 
     new_state = EngineState(

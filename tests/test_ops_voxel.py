@@ -143,3 +143,22 @@ def test_bincount_group():
     np.testing.assert_array_equal(np.asarray(counts), [2, 1, 3])
     np.testing.assert_array_equal(np.asarray(starts), [0, 2, 3])
     np.testing.assert_array_equal(np.asarray(gidx), [1, 4, 3, 0, 2, 5])
+
+
+def test_fused_historic_update_matches_two_pass():
+    """Engine's fused decay+scatter (split path) == scatter_occupancy +
+    update_historic_occupancy, for 0/1 fresh grids."""
+    from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
+        scatter_occupancy, update_historic_occupancy)
+    rng = np.random.default_rng(11)
+    num_cells, n = 5000, 1200
+    historic = jnp.asarray(rng.integers(0, 11, num_cells, dtype=np.int32))
+    cells = jnp.asarray(rng.integers(0, num_cells, n, dtype=np.int32))
+    live = jnp.asarray(rng.random(n) < 0.7)
+    lifetime = 10
+    fresh = scatter_occupancy(cells, live, num_cells)
+    ref = update_historic_occupancy(historic, fresh, lifetime)
+    aged = jnp.maximum(historic - 1, 0)
+    target = jnp.where(live, cells, jnp.int32(num_cells))
+    got = aged.at[target].max(jnp.int32(lifetime), mode="drop")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

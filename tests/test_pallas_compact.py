@@ -96,3 +96,40 @@ def test_voxelize_rle_bitexact_vs_packed():
     assert int(p[1]) == int(r[1])
     np.testing.assert_array_equal(np.asarray(p[0]), np.asarray(r[0]))
     np.testing.assert_array_equal(np.asarray(p[2]), np.asarray(r[2]))
+
+
+def test_voxelize_rle_extra_rows_match_concat():
+    """Domain split: feeding raster-incoherent rows via extra_* (the
+    engine's lidar selection) is bit-identical to concatenating them into
+    the level-1 input (integer partial sums commute)."""
+    from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
+        voxelize_average_rle)
+    cfg = FusionConfig(voxel_min=(-2, -2, 0), voxel_max=(2, 2, 1),
+                       voxel_size=(0.1, 0.1, 0.12))
+    grid = VoxelGrid.from_config(cfg)
+    rng = np.random.default_rng(5)
+    n, m = 8000, 700
+    pts = np.clip(np.cumsum(rng.standard_normal((n, 3)) * 0.01, axis=0)
+                  * 0.5, [-1.9, -1.9, 0.01], [1.9, 1.9, 0.95])
+    extra = rng.uniform([-1.9, -1.9, 0.01], [1.9, 1.9, 0.95], (m, 3))
+    p4 = jnp.asarray(np.concatenate([pts, np.ones((n, 1))], -1),
+                     jnp.float32)
+    e4 = jnp.asarray(np.concatenate([extra, np.ones((m, 1))], -1),
+                     jnp.float32)
+    pm = jnp.asarray(rng.random(n) < 0.9)
+    em = jnp.asarray(rng.random(m) < 0.8)
+    pc = grid.cell_index_clamped(p4[:, :3])
+    ec = grid.cell_index_clamped(e4[:, :3])
+    cap = 4096
+    ref = voxelize_average_rle(
+        jnp.concatenate([p4, e4]), jnp.concatenate([pc, ec]),
+        jnp.concatenate([pm, em]), grid, cap, return_occupancy=True,
+        interpret=True)
+    got = voxelize_average_rle(
+        p4, pc, pm, grid, cap, return_occupancy=True, interpret=True,
+        extra_points=e4, extra_cell_indices=ec, extra_mask=em)
+    assert int(ref[1]) == int(got[1])
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(got[2]))
