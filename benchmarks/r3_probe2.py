@@ -195,8 +195,12 @@ def main():
             _emit_slabs(emit_planes, tgt, total, base_slabs, is_last,
                         residue, slab_scr, out_ref, sems, cap_pad)
         else:
-            out_ref[:, pl.ds(0, SLAB)] = emit_planes[:, 0:SLAB] * 0.0 + \
-                jnp.sum(tgt) * 0.0
+            # keep the scan + tgt live without touching the ANY-space
+            # output: fold a data-dependent value into the SMEM count
+            @pl.when(is_last)
+            def _keep():
+                cnt_ref[0, 0] = (emit_planes[1, BN - 1]
+                                 + tgt[0, BN - 1]).astype(jnp.int32)
         run_carry[:, 0:1] = jnp.concatenate(
             [keys[:, BN - 1:], acc[:, BN - 1:]], axis=0)
         carry[0] = total % SLAB

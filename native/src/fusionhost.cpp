@@ -1070,6 +1070,124 @@ int32_t fh_depth_encode2(const uint16_t* depth, int32_t C, int32_t H,
   return B;
 }
 
+// Temporal (P-frame) encoder: predict each pixel from the PREVIOUS
+// frame's quantized series prev_q (holes = 0) instead of the row-left
+// neighbor — zz = zigzag(curr_q - prev_q). No row bases; the decoder is
+// pointwise (prev_q + delta), no cumsum. Pixels whose previous value was
+// a hole carry full magnitude and ride the exception list, so scenes
+// with heavy hole churn exceed the budget and the caller falls back to
+// an I-frame (fh_depth_encode2). Writes curr_q (the next frame's
+// prediction state) alongside. Same allocation contract as
+// fh_depth_encode2 minus row_first. Returns B or -1.
+int32_t fh_depth_encode_temporal(
+    const uint16_t* depth, const uint16_t* prev_q, int32_t C, int32_t H,
+    int32_t W, int64_t max_exc, const int32_t* allowed_bits,
+    int32_t n_allowed, int32_t guess_B, int32_t quant_shift,
+    uint32_t* zz_tmp, uint32_t* words, uint16_t* curr_q,
+    uint32_t* exc_idx, uint32_t* exc_zz, int64_t* out_meta) {
+  const int64_t rows = (int64_t)C * H;
+  const int32_t qsh = quant_shift;
+  const int32_t qround = qsh > 0 ? (1 << (qsh - 1)) : 0;
+  const int32_t qmax = 65535 >> qsh;
+  bool guess_allowed = false;
+  for (int32_t i = 0; i < n_allowed; ++i)
+    if (allowed_bits[i] == guess_B) guess_allowed = true;
+  const int32_t gwpr =
+      guess_allowed ? (int32_t)(((int64_t)W * guess_B + 31) / 32) : 0;
+  int64_t hist[20] = {0};
+  std::vector<std::vector<uint64_t>> exc_parts;
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+    const int nth = omp_get_num_threads();
+#else
+    const int tid = 0, nth = 1;
+#endif
+#pragma omp single
+    exc_parts.assign(nth, {});
+    std::vector<uint64_t>& mine = exc_parts[tid];
+    int64_t lhist[20] = {0};
+#pragma omp for nowait
+    for (int64_t r = 0; r < rows; ++r) {
+      const uint16_t* row = depth + r * W;
+      const uint16_t* prow = prev_q + r * W;
+      uint16_t* qrow = curr_q + r * W;
+      uint32_t* zrow = zz_tmp + r * W;
+      const uint32_t gesc = guess_allowed ? (1u << guess_B) - 1 : 0;
+      FhRowPacker pk(words + r * gwpr);
+      for (int32_t x = 0; x < W; ++x) {
+        uint16_t d = row[x];
+        if (d != 0 && qsh > 0)
+          d = (uint16_t)std::min(qmax,
+                                 std::max(1, ((int32_t)d + qround) >> qsh));
+        uint32_t z, code;
+        if (d == 0) {
+          z = FH_HOLE;
+          code = gesc;
+          qrow[x] = 0;
+        } else {
+          z = fh_zigzag((int32_t)d - (int32_t)prow[x]);
+          qrow[x] = d;
+          lhist[fh_bits_needed(z + 1)]++;
+          code = z;
+          if (guess_allowed && z >= gesc) {
+            mine.push_back(((uint64_t)(r * W + x) << 32) | z);
+            code = 0;
+          }
+        }
+        zrow[x] = z;
+        if (guess_allowed) pk.push(code, guess_B);
+      }
+      if (guess_allowed) pk.flush();
+    }
+#pragma omp critical
+    for (int i = 0; i < 20; ++i) hist[i] += lhist[i];
+  }
+  int64_t tail[20];
+  tail[19] = 0;
+  for (int b = 18; b >= 1; --b) tail[b] = tail[b + 1] + hist[b + 1];
+  int32_t B = -1;
+  for (int32_t i = 0; i < n_allowed; ++i) {
+    const int32_t b = allowed_bits[i];  // ascending
+    if (b >= 1 && b <= 17 && tail[b] <= max_exc) {
+      B = b;
+      break;
+    }
+  }
+  if (B < 0) return -1;
+  const int32_t wpr = (int32_t)(((int64_t)W * B + 31) / 32);
+  if (!(guess_allowed && B == guess_B)) {
+    exc_parts.clear();
+#pragma omp parallel
+    {
+#ifdef _OPENMP
+      const int tid = omp_get_thread_num();
+      const int nth = omp_get_num_threads();
+#else
+      const int tid = 0, nth = 1;
+#endif
+#pragma omp single
+      exc_parts.assign(nth, {});
+      std::vector<uint64_t>& mine = exc_parts[tid];
+#pragma omp for
+      for (int64_t r = 0; r < rows; ++r)
+        fh_pack_row(zz_tmp + r * W, r, W, B, wpr, words, mine);
+    }
+  }
+  std::vector<uint64_t> exc;
+  for (auto& p : exc_parts) exc.insert(exc.end(), p.begin(), p.end());
+  std::sort(exc.begin(), exc.end());
+  if ((int64_t)exc.size() > max_exc) return -1;
+  for (size_t i = 0; i < exc.size(); ++i) {
+    exc_idx[i] = (uint32_t)(exc[i] >> 32);
+    exc_zz[i] = (uint32_t)exc[i];
+  }
+  out_meta[0] = (int64_t)exc.size();
+  out_meta[1] = wpr;
+  return B;
+}
+
 // ---------------------------------------------------------------------------
 // point-sequence staging append (reference addPointSequence copy loop,
 // gpu_depthmap_fusion.cpp:747-796): copy xyz (stride float) with w = 1.

@@ -86,8 +86,13 @@ class FusionConfig:
     # --- host->device depth link ---
     # "dpcm" (default): lossless masked row-DPCM compression of the depth
     # upload, decoded on device (ops/depth_codec.py) — the link is the
-    # multi-camera bottleneck. "none": ship raw u16.
+    # multi-camera bottleneck. "dpcm_temporal": adds P-frames coding
+    # zigzag(curr_q - prev_q) against the previous frame (kept on device
+    # in EngineState) with automatic I-frame fallback when residuals or
+    # hole churn blow the exception budget, and periodic I keyframes for
+    # resync; stable real streams code 1-2 bits narrower. "none": raw u16.
     depth_link_codec: str = "dpcm"
+    depth_codec_keyframe_interval: int = 30
     depth_codec_max_exceptions: int = 8192
     # bounded-loss link quantization: nonzero depths are rounded to
     # multiples of 2**shift before the DPCM (error <= 2**(shift-1) depth

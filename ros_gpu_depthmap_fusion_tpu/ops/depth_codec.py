@@ -1,4 +1,4 @@
-"""Depth-link codec: on-device decoder + reference encoder.
+"""Depth-link codec: on-device decoders + reference encoders.
 
 The fusion engine's bottleneck at multi-camera scale is the host->device
 link (the reference never faced this: its depth maps arrive in GPU-visible
@@ -18,6 +18,15 @@ tunnel). The codec moves ~4x fewer bytes, losslessly:
 
 ``B`` is bucketed (:data:`B_BUCKETS`) so the jit cache holds a handful of
 decoder variants, not one per frame.
+
+Temporal mode (P-frames): when the engine keeps the previous frame's
+quantized depth on device, a frame can instead code
+``zigzag(curr_q - prev_q)`` per pixel — no row DPCM, no cumsum; decode is
+``prev_q + delta`` pointwise (:func:`decode_depth_temporal`). Pixels whose
+previous value was a hole carry the full magnitude and ride the exception
+list; the encoder picks I vs P per frame by measured payload bytes
+(stable real camera streams code 1-2 bits narrower temporally; scenes
+with fast content change or hole churn fall back to spatial I-frames).
 """
 
 from __future__ import annotations
@@ -52,57 +61,86 @@ class EncodedDepth(NamedTuple):
     exc_count: jnp.ndarray    # scalar int32
 
 
-def decode_depth(enc: EncodedDepth, height: int, width: int,
-                 bits: int, quant_shift: int = 0) -> jnp.ndarray:
-    """Decode to ``[C, H, W]`` uint16. ``bits`` is static (jit per bucket).
-
-    ``quant_shift`` must match the encoder's: the DPCM series is in units
-    of ``2**quant_shift`` and is scaled back here (holes stay exact 0).
-    """
+def _extract_zz(enc: EncodedDepth, width: int, bits: int):
+    """Shared decoder front half: per-pixel codes -> (zigzag values with
+    exceptions scattered in, hole mask)."""
     c, h, wpr = enc.words.shape
     n = c * h * width
     esc = (1 << bits) - 1
-
-    if 32 % bits == 0:
-        # aligned fast path (B in {2, 4, 8, 16}): every field lives inside
-        # one word, so one shift+mask per pixel recovers it — 1/32 the
-        # intermediate volume of the generic bit-explode below
-        ppw = 32 // bits
-        fields32 = (enc.words[..., None]
-                    >> (jnp.arange(ppw, dtype=jnp.uint32)
-                        * jnp.uint32(bits))) & jnp.uint32((1 << bits) - 1)
-        codes = fields32.reshape(c, h, wpr * ppw)[..., :width] \
-            .astype(jnp.int32)
-    else:
-        # gather-free bit unpack: explode words to a bit tensor (pure
-        # shifts + reshapes, so XLA lowers to fused vector ops), then
-        # recombine each pixel's `bits`-wide field with a weighted sum
-        bit_lanes = (enc.words[..., None]
-                     >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
-        bit_stream = bit_lanes.reshape(c, h, wpr * 32)[..., :width * bits]
-        fields = bit_stream.reshape(c, h, width, bits).astype(jnp.int32)
-        weights = jnp.asarray(1 << np.arange(bits, dtype=np.int64),
-                              jnp.int32)
-        codes = jnp.sum(fields * weights, axis=-1)
-
+    codes = _extract_codes(enc.words, width, bits)
     is_hole = codes == esc
     zz_stream = jnp.where(is_hole, 0, codes)
-
-    # exceptions: scatter the true zigzag values over the zeros
     flat = zz_stream.reshape(-1)
     target = jnp.where(
         jnp.arange(enc.exc_idx.shape[0], dtype=jnp.int32) < enc.exc_count,
         enc.exc_idx.astype(jnp.int32), jnp.int32(n))
     flat = flat.at[target].set(enc.exc_zz.astype(jnp.int32), mode="drop")
-    zz = flat.reshape(c, h, width)
+    return flat.reshape(c, h, width), is_hole
 
+
+def decode_depth_temporal(enc: EncodedDepth, prev_q: jnp.ndarray,
+                          height: int, width: int, bits: int,
+                          quant_shift: int = 0):
+    """Decode a P-frame: per-pixel ``curr_q = prev_q + unzigzag(code)``
+    (no cumsum — cheaper than the spatial decode). ``prev_q`` is the
+    previous frame's ``[C, H, W]`` u16 QUANTIZED series (holes = 0),
+    exactly as returned by either decoder's second output.
+
+    Returns ``(depth_u16, curr_q)``.
+    """
+    zz, is_hole = _extract_zz(enc, width, bits)
+    delta = (zz >> 1) ^ -(zz & 1)
+    curr_q = jnp.where(is_hole, 0, prev_q.astype(jnp.int32) + delta)
+    depth = curr_q << quant_shift if quant_shift else curr_q
+    return depth.astype(jnp.uint16), curr_q.astype(jnp.uint16)
+
+
+def _extract_codes(words: jnp.ndarray, width: int, bits: int):
+    """Per-pixel ``bits``-wide codes from the packed word stream."""
+    c, h, wpr = words.shape
+    if 32 % bits == 0:
+        # aligned fast path (B in {2, 4, 8, 16}): every field lives inside
+        # one word, so one shift+mask per pixel recovers it — 1/32 the
+        # intermediate volume of the generic bit-explode below
+        ppw = 32 // bits
+        fields32 = (words[..., None]
+                    >> (jnp.arange(ppw, dtype=jnp.uint32)
+                        * jnp.uint32(bits))) & jnp.uint32((1 << bits) - 1)
+        return fields32.reshape(c, h, wpr * ppw)[..., :width] \
+            .astype(jnp.int32)
+    # gather-free bit unpack: explode words to a bit tensor (pure
+    # shifts + reshapes, so XLA lowers to fused vector ops), then
+    # recombine each pixel's `bits`-wide field with a weighted sum
+    bit_lanes = (words[..., None]
+                 >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+    bit_stream = bit_lanes.reshape(c, h, wpr * 32)[..., :width * bits]
+    fields = bit_stream.reshape(c, h, width, bits).astype(jnp.int32)
+    weights = jnp.asarray(1 << np.arange(bits, dtype=np.int64),
+                          jnp.int32)
+    return jnp.sum(fields * weights, axis=-1)
+
+
+def decode_depth(enc: EncodedDepth, height: int, width: int,
+                 bits: int, quant_shift: int = 0,
+                 return_series: bool = False):
+    """Decode an I-frame to ``[C, H, W]`` uint16. ``bits`` is static (jit
+    per bucket).
+
+    ``quant_shift`` must match the encoder's: the DPCM series is in units
+    of ``2**quant_shift`` and is scaled back here (holes stay exact 0).
+    With ``return_series`` also returns the quantized series (holes = 0)
+    — the ``prev_q`` state for a following P-frame.
+    """
+    zz, is_hole = _extract_zz(enc, width, bits)
     # zigzag undo -> row prefix sum -> add row base -> zero the holes
     delta = (zz >> 1) ^ -(zz & 1)
     series = enc.row_first.astype(jnp.int32)[..., None] + jnp.cumsum(
         delta, axis=-1)
-    if quant_shift:
-        series = series << quant_shift
-    return jnp.where(is_hole, 0, series).astype(jnp.uint16)
+    series = jnp.where(is_hole, 0, series)
+    depth = series << quant_shift if quant_shift else series
+    if return_series:
+        return depth.astype(jnp.uint16), series.astype(jnp.uint16)
+    return depth.astype(jnp.uint16)
 
 
 # ---------------------------------------------------------------------------
@@ -168,3 +206,67 @@ def encode_depth_reference(depth: np.ndarray, max_exceptions: int = 8192,
                 row_first=row_first.reshape(c, h),
                 exc_idx=exc.astype(np.uint32),
                 exc_zz=exc_zz.astype(np.uint32)), bits
+
+
+def quantize_reference(depth: np.ndarray, quant_shift: int) -> np.ndarray:
+    """The encoders' quantization: nonzero depth -> clamped multiples of
+    2**shift in quantized units (holes stay 0)."""
+    d = np.asarray(depth).astype(np.int64)
+    if not quant_shift:
+        return d.astype(np.uint16)
+    nz = d != 0
+    q = np.clip((d + (1 << (quant_shift - 1))) >> quant_shift,
+                1, 65535 >> quant_shift)
+    return np.where(nz, q, 0).astype(np.uint16)
+
+
+def encode_depth_temporal_reference(depth: np.ndarray,
+                                    prev_q: np.ndarray,
+                                    max_exceptions: int = 8192,
+                                    allowed_bits=B_BUCKETS,
+                                    quant_shift: int = 0):
+    """Reference P-frame encoder: per-pixel ``zigzag(curr_q - prev_q)``
+    with escape-zero holes; pixels whose previous value was a hole carry
+    full magnitude and land in the exception list.
+
+    Returns ``(enc dict, bits, curr_q)`` or ``None`` when no allowed
+    width fits the exception budget (caller falls back to an I-frame).
+    ``row_first`` is all zeros (P-frames carry no row bases).
+    """
+    c, h, w = depth.shape
+    curr_q = quantize_reference(depth, quant_shift)
+    cq = curr_q.reshape(c * h, w).astype(np.int64)
+    pq = np.asarray(prev_q).reshape(c * h, w).astype(np.int64)
+    hole = cq == 0
+    delta = cq - pq
+    zz = np.where(delta >= 0, delta << 1, ((-delta) << 1) - 1)
+    zz[hole] = 0
+    bits = None
+    for b in sorted(allowed_bits):
+        if 1 <= b <= 17 and int(((zz >= (1 << b) - 1) & ~hole).sum()) \
+                <= max_exceptions:
+            bits = b
+            break
+    if bits is None:
+        return None
+    esc = (1 << bits) - 1
+    over = (zz >= esc) & ~hole
+    exc = np.flatnonzero(over.reshape(-1))
+    exc_zz = zz.reshape(-1)[exc].copy()
+    codes = zz.copy()
+    codes[over] = 0
+    codes[hole] = esc
+    wpr = words_per_row(w, bits)
+    words = np.zeros((c * h, wpr), np.uint32)
+    for r in range(c * h):
+        for x in range(w):
+            z = int(codes[r, x])
+            bitpos = x * bits
+            wi, sh = bitpos // 32, bitpos % 32
+            words[r, wi] |= (z << sh) & 0xFFFFFFFF
+            if sh + bits > 32:
+                words[r, wi + 1] |= z >> (32 - sh)
+    return dict(words=words.reshape(c, h, wpr),
+                row_first=np.zeros((c, h), np.uint16),
+                exc_idx=exc.astype(np.uint32),
+                exc_zz=exc_zz.astype(np.uint32)), bits, curr_q

@@ -42,7 +42,7 @@ from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
 from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
 from ros_gpu_depthmap_fusion_tpu.core import timeutil
 from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
-    B_BUCKETS, decode_depth)
+    B_BUCKETS, decode_depth, decode_depth_temporal)
 from ros_gpu_depthmap_fusion_tpu.ops.unproject import unproject_depthmaps
 from ros_gpu_depthmap_fusion_tpu.ops.pallas.flying_pixels import (
     filter_flying_pixels_auto as filter_flying_pixels)
@@ -63,6 +63,10 @@ class EngineState(NamedTuple):
     rollbuffer: RollBuffer
     historic_occupancy: jnp.ndarray   # [num_cells] int32
     frame_index: jnp.ndarray          # scalar int32
+    # previous frame's quantized depth series (holes = 0) — the P-frame
+    # prediction state of the temporal link codec. [C, H, W] u16 when
+    # cfg.depth_link_codec == "dpcm_temporal", else a [1, 1, 1] stub.
+    prev_depth_q: jnp.ndarray = jnp.zeros((1, 1, 1), jnp.uint16)
 
 
 class SequenceBatch(NamedTuple):
@@ -114,11 +118,16 @@ class FrameOutputs(NamedTuple):
 
 
 def initial_state(cfg: FusionConfig, grid: VoxelGrid) -> EngineState:
+    prev_q_shape = ((cfg.num_depth_streams, cfg.depth_height,
+                     cfg.depth_width)
+                    if cfg.depth_link_codec == "dpcm_temporal"
+                    else (1, 1, 1))
     return EngineState(
         rollbuffer=rbmod.make_rollbuffer(
             cfg.rollbuffer_point_capacity, cfg.rollbuffer_seq_capacity),
         historic_occupancy=jnp.zeros((grid.num_cells,), jnp.int32),
         frame_index=jnp.int32(0),
+        prev_depth_q=jnp.zeros(prev_q_shape, jnp.uint16),
     )
 
 
@@ -165,12 +174,24 @@ def fusion_step(state: EngineState,
     seq_world, seq_crop, seq_valid, _ = rbmod.gather_selection(
         rb, sel, inp.tf_world_move, inp.tf_crop_move, sel_cap)
 
-    # -- 6. decode the depth link (if compressed) + unproject --
+    # -- 6. decode the depth link (if compressed) + unproject.
+    #    depth_bits > 0: spatial I-frame; depth_bits < 0: temporal P-frame
+    #    at |bits| against state.prev_depth_q (dpcm_temporal only) --
+    prev_depth_q = state.prev_depth_q
     if depth_bits is None:
         depth_u16 = inp.depth
+    elif depth_bits > 0:
+        if cfg.depth_link_codec == "dpcm_temporal":
+            depth_u16, prev_depth_q = decode_depth(
+                inp.depth, h, w, depth_bits,
+                cfg.depth_codec_quant_shift, return_series=True)
+        else:
+            depth_u16 = decode_depth(inp.depth, h, w, depth_bits,
+                                     cfg.depth_codec_quant_shift)
     else:
-        depth_u16 = decode_depth(inp.depth, h, w, depth_bits,
-                                 cfg.depth_codec_quant_shift)
+        depth_u16, prev_depth_q = decode_depth_temporal(
+            inp.depth, state.prev_depth_q, h, w, -depth_bits,
+            cfg.depth_codec_quant_shift)
     pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
         depth_u16, inp.intrinsics, inp.tf_world, inp.tf_crop,
         cfg.depth_scale)
@@ -314,6 +335,7 @@ def fusion_step(state: EngineState,
         rollbuffer=rb,
         historic_occupancy=historic,
         frame_index=state.frame_index + 1,
+        prev_depth_q=prev_depth_q,
     )
     out = FrameOutputs(
         fused_points=fused_points, fused_count=fused_count,
@@ -357,6 +379,19 @@ def build_packet_step(cfg: FusionConfig, grid: VoxelGrid, layout,
                    static_argnames=("depth_bits",))
 
 
+def _quantize_into(depth: np.ndarray, quant_shift: int,
+                   out: np.ndarray) -> None:
+    """Encoder-side quantization into ``out`` (holes stay 0) — the
+    P-frame prediction state after an I-frame."""
+    if not quant_shift:
+        np.copyto(out, depth)
+        return
+    qmax = 65535 >> quant_shift
+    q = (depth.astype(np.int32) + (1 << (quant_shift - 1))) >> quant_shift
+    np.clip(q, 1, qmax, out=q)
+    np.copyto(out, np.where(depth == 0, 0, q).astype(np.uint16))
+
+
 # ---------------------------------------------------------------------------
 # Host orchestrator
 # ---------------------------------------------------------------------------
@@ -398,8 +433,17 @@ class FusionEngine:
         self._packets = (HostPacket(self.layout), HostPacket(self.layout))
         self._pkt_flip = 0
         c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
-        self._depth_host = np.zeros((c, h, w), np.uint16)
-        self._last_bits = -1  # codec width guess (temporally stable)
+        # double-buffered like the packets: the transfer worker encodes
+        # frame k's depth while the main thread stages frame k+1
+        self._depth_hosts = (np.zeros((c, h, w), np.uint16),
+                             np.zeros((c, h, w), np.uint16))
+        self._depth_host = self._depth_hosts[0]
+        self._last_bits = -1  # spatial codec width guess (stable)
+        self._last_p_bits = -1      # temporal width guess
+        self._last_frame_bits = None  # signed bits of the latest frame
+        self._host_prev_q = None    # encoder-side P-frame prediction
+        self._host_prev_q_spare = None
+        self._frames_since_key = 0
         # live-reconfigurable filter scalars (shipped per frame in the
         # packet header; changing them costs nothing — parity with the
         # reference's config topics, _component.cpp:970-990)
@@ -437,11 +481,12 @@ class FusionEngine:
 
     # --- ingestion (reference addDepthmap / addPointSequence) ---
     def clear(self):
-        # flip to the other host packet and reset per-frame staging
-        # (reference clear(), gpu_depthmap_fusion.cpp:725-732 — keeps the
-        # rollbuffer, drops per-frame inputs)
+        # flip to the other host packet + depth buffer and reset per-frame
+        # staging (reference clear(), gpu_depthmap_fusion.cpp:725-732 —
+        # keeps the rollbuffer, drops per-frame inputs)
         self._pkt_flip ^= 1
         self._pkt = self._packets[self._pkt_flip]
+        self._depth_host = self._depth_hosts[self._pkt_flip]
         self._depth_filled = [False] * self.cfg.num_depth_streams
         self._num_seqs = 0
         self._seq_fill = 0
@@ -499,75 +544,130 @@ class FusionEngine:
         pkt.tf_world_move[:] = (eye if tf_world_move is None
                                 else tf_world_move)
         pkt.tf_crop_move[:] = eye if tf_crop_move is None else tf_crop_move
-        # depth-link codec: compress on host (native, OpenMP) straight into
-        # the packet tail, decode on device inside the fused step — the
-        # link moves ~4x fewer bytes
+        scalars = (now_sec, now_nsec, min_sec, min_nsec,
+                   self._seq_fill, self._num_seqs,
+                   self.fp_threshold, self.fp_max_distance,
+                   self.ps_threshold)
+        if self.pipeline_depth:
+            # resolve the in-flight transfer of frame k-1, hand frame k's
+            # ENCODE + transfer to the worker (the DPCM encode was ~8 ms
+            # of main-thread time — off the critical path it overlaps the
+            # step dispatch like the transfer itself), then dispatch step
+            # k-1 — the schedule measured fastest in
+            # benchmarks/link_overlap_probe2.py (v3). The staging buffers
+            # are double-buffered (packet AND depth host array), so the
+            # worker reads stable frame-k bytes while the main thread
+            # stages frame k+1; the future completes before frame k+2's
+            # staging can touch frame k's buffers.
+            prev = self._pending
+            self._pending = self._xfer.submit(
+                self._encode_and_put, pkt, self._depth_host, scalars)
+            self.clear()
+            if prev is None:
+                return None
+            inp, prev_bits = prev.result()
+            self.state, out = self.step(self.state, inp,
+                                        depth_bits=prev_bits)
+            return out
+        inp, depth_bits = self._encode_and_put(pkt, self._depth_host,
+                                               scalars)
+        self.state, out = self.step(self.state, inp, depth_bits=depth_bits)
+        self.clear()
+        return out
+
+    def _encode_and_put(self, pkt, depth_host, scalars):
+        """Depth-link encode into the packet tail + one device_put of the
+        whole frame. Runs on the transfer worker in pipelined mode.
+
+        The np.array snapshot before device_put is required for
+        correctness, not just pipelining: device_put may zero-copy a numpy
+        buffer (CPU backend) or read it during an in-flight DMA, while
+        this packet is restaged two frames later — without the copy the
+        step can observe frame k+2 bytes (real flake caught by
+        test_engine_pipelined_matches_sync)."""
         depth_bits, exc_count = None, 0
-        if self.cfg.depth_link_codec == "dpcm":
+        cfg = self.cfg
+        pkt_out = dict(words=pkt.tail, row_first=pkt.row_first,
+                       exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz)
+        if cfg.depth_link_codec == "dpcm_temporal":
+            # P-frame against the previous quantized series, with I-frame
+            # keyframes every depth_codec_keyframe_interval frames and
+            # automatic I fallback when the P-encoder rejects (residuals
+            # or hole churn blow the exception budget) or codes wider
+            # than the scene's spatial width.
+            keyframe = (self._host_prev_q is None
+                        or self._frames_since_key
+                        >= cfg.depth_codec_keyframe_interval)
+            res = None
+            if not keyframe:
+                res = native.depth_encode_temporal(
+                    depth_host, self._host_prev_q,
+                    cfg.depth_codec_max_exceptions, allowed_bits=B_BUCKETS,
+                    out=pkt_out, guess_bits=self._last_p_bits,
+                    quant_shift=cfg.depth_codec_quant_shift,
+                    curr_q_out=self._host_prev_q_spare)
+                if res is not None and self._last_bits > 0 \
+                        and res[1] > self._last_bits:
+                    res = None  # wider than spatial: not worth a P-frame
+            if res is not None:
+                enc, p_bits, curr_q = res
+                exc_count = int(enc["exc_count"])
+                self._last_p_bits = p_bits
+                depth_bits = -p_bits
+                self._frames_since_key += 1
+                self._host_prev_q_spare = self._host_prev_q
+                self._host_prev_q = curr_q
+            else:
+                encoded = native.depth_encode(
+                    depth_host, cfg.depth_codec_max_exceptions,
+                    allowed_bits=B_BUCKETS, out=pkt_out,
+                    guess_bits=max(self._last_bits, -1),
+                    quant_shift=cfg.depth_codec_quant_shift)
+                if encoded is not None:
+                    enc, depth_bits = encoded
+                    exc_count = int(enc["exc_count"])
+                    self._last_bits = depth_bits
+                    self._frames_since_key = 0
+                    # prediction state = the encoder's quantized series
+                    if self._host_prev_q is None:
+                        c2, h2, w2 = depth_host.shape
+                        self._host_prev_q = np.empty((c2, h2, w2),
+                                                     np.uint16)
+                        self._host_prev_q_spare = np.empty(
+                            (c2, h2, w2), np.uint16)
+                    _quantize_into(depth_host,
+                                   cfg.depth_codec_quant_shift,
+                                   self._host_prev_q)
+        elif cfg.depth_link_codec == "dpcm":
             encoded = native.depth_encode(
-                self._depth_host, self.cfg.depth_codec_max_exceptions,
-                allowed_bits=B_BUCKETS,
-                out=dict(words=pkt.tail, row_first=pkt.row_first,
-                         exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz),
+                depth_host, cfg.depth_codec_max_exceptions,
+                allowed_bits=B_BUCKETS, out=pkt_out,
                 guess_bits=self._last_bits,
-                quant_shift=self.cfg.depth_codec_quant_shift)
+                quant_shift=cfg.depth_codec_quant_shift)
             if encoded is not None:
                 enc, depth_bits = encoded
                 exc_count = int(enc["exc_count"])
                 self._last_bits = depth_bits
         if depth_bits is None:  # raw u16 pairs in the tail
-            flat = self._depth_host.reshape(-1)
+            flat = depth_host.reshape(-1)
             n_pairs = flat.size // 2
             pkt.tail[:n_pairs] = flat[: n_pairs * 2].view(np.uint32)
             if flat.size % 2:
                 pkt.tail[n_pairs] = np.uint32(flat[-1])
-        pkt.set_scalars(exc_count, now_sec, now_nsec, min_sec, min_nsec,
-                        self._seq_fill, self._num_seqs,
-                        self.fp_threshold, self.fp_max_distance,
-                        self.ps_threshold)
-        if self.pipeline_depth:
-            # resolve the in-flight transfer of frame k-1, issue frame k's
-            # transfer on the worker (so it rides the link during step
-            # k-1), then dispatch step k-1 — the schedule measured fastest
-            # in benchmarks/link_overlap_probe2.py (v3)
-            prev = self._pending
-            # snapshot-on-worker: device_put's host-side read can be lazy
-            # (zero-copy on the CPU backend; in-flight DMA on the tunnel),
-            # while this packet buffer is restaged two frames later — the
-            # copy pins frame k's bytes. It runs on the worker thread, so
-            # the main loop never pays for it.
-            view = pkt.view(depth_bits)
-            self._pending = (
-                self._xfer.submit(lambda v: jax.device_put(np.array(v)),
-                                  view),
+        pkt.set_scalars(exc_count, *scalars)
+        self._last_frame_bits = depth_bits
+        return (jax.device_put(np.array(pkt.view(depth_bits))),
                 depth_bits)
-            self.clear()
-            if prev is None:
-                return None
-            inp, prev_bits = prev[0].result(), prev[1]
-            self.state, out = self.step(self.state, inp,
-                                        depth_bits=prev_bits)
-            return out
-        # ONE transfer for the whole frame (depth included). The snapshot
-        # copy is required for correctness, not just in pipelined mode:
-        # device_put may zero-copy a numpy buffer (CPU backend) or read it
-        # during an in-flight DMA, while this packet is restaged two
-        # frames later — without the copy the step can observe frame k+2
-        # bytes (real flake caught by test_engine_pipelined_matches_sync).
-        inp = jax.device_put(np.array(pkt.view(depth_bits)))
-        self.state, out = self.step(self.state, inp, depth_bits=depth_bits)
-        self.clear()
-        return out
 
     def flush(self) -> Optional[FrameOutputs]:
         """Drain the in-flight frame (pipelined mode): dispatch and return
         the last submitted frame's outputs, or None if nothing pending."""
         if self._pending is None:
             return None
-        fut, bits = self._pending
+        fut = self._pending
         self._pending = None
-        self.state, out = self.step(self.state, fut.result(),
-                                    depth_bits=bits)
+        inp, bits = fut.result()
+        self.state, out = self.step(self.state, inp, depth_bits=bits)
         return out
 
     def segment_and_track(self, out: FrameOutputs):

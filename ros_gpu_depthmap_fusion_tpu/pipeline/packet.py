@@ -107,7 +107,8 @@ class PacketLayout(NamedTuple):
     def tail_words(self, bits: Optional[int]) -> int:
         if bits is None:  # raw u16 depth pairs
             return (self.rows * self.w + 1) // 2
-        return self.rows * words_per_row(self.w, bits)
+        # negative bits = temporal P-frame at |bits| (same word layout)
+        return self.rows * words_per_row(self.w, abs(bits))
 
     def total_words(self, bits: Optional[int]) -> int:
         return self.off_tail + self.tail_words(bits)
@@ -205,7 +206,7 @@ def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
         depth = unpack_depth_pairs(pairs)[: lo.rows * lo.w].reshape(
             lo.c, lo.h, lo.w)
     else:
-        wpr = words_per_row(lo.w, bits)
+        wpr = words_per_row(lo.w, abs(bits))
         depth = EncodedDepth(
             words=b[lo.off_tail:lo.off_tail + lo.rows * wpr].reshape(
                 lo.c, lo.h, wpr),

@@ -77,6 +77,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                      i32, i32, u32p, u32p, u16p, u32p,
                                      u32p, i64p]
     lib.fh_depth_encode2.restype = i32
+    lib.fh_depth_encode_temporal.argtypes = [
+        u16p, u16p, i32, i32, i32, i64, i32p, i32, i32, i32, u32p, u32p,
+        u16p, u32p, u32p, i64p]
+    lib.fh_depth_encode_temporal.restype = i32
     lib.fh_segment_grid.argtypes = [u8p, i32, i32, i32, i32, i32, u16p,
                                     i32p, i32p, i64p, f64p, i32p, i32p]
     lib.fh_segment_grid.restype = i32
@@ -349,6 +353,58 @@ def depth_encode(depth_u16: np.ndarray, max_exceptions: int = 8192,
 
 
 _enc_scratch = None
+
+
+def depth_encode_temporal(depth_u16: np.ndarray, prev_q: np.ndarray,
+                          max_exceptions: int = 8192, allowed_bits=None,
+                          out=None, guess_bits: int = -1,
+                          quant_shift: int = 0, curr_q_out=None):
+    """P-frame encoder (``fh_depth_encode_temporal``): per-pixel
+    ``zigzag(curr_q - prev_q)`` with escape-zero holes. ``prev_q`` is the
+    previous frame's quantized series (same shape, holes = 0).
+
+    Returns ``(dict(words, row_first(zeros-view), exc_idx, exc_zz,
+    exc_count), bits, curr_q)`` or ``None`` when the native library is
+    missing or every allowed width overflows the exception budget (the
+    caller falls back to an I-frame).
+    """
+    from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import B_BUCKETS
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(depth_u16, np.uint16)
+    p = np.ascontiguousarray(prev_q, np.uint16)
+    c, h, w = d.shape
+    rows = c * h
+    allowed = np.asarray(sorted(B_BUCKETS if allowed_bits is None
+                                else allowed_bits), np.int32)
+    wpr_max = (w * int(allowed[-1]) + 31) // 32
+    global _enc_scratch
+    if _enc_scratch is None or _enc_scratch.size < rows * w:
+        _enc_scratch = np.empty(rows * w, np.uint32)
+    zz_tmp = _enc_scratch[: rows * w]
+    if out is None:
+        out = dict(words=np.zeros(rows * wpr_max, np.uint32),
+                   row_first=np.zeros(rows, np.uint16),
+                   exc_idx=np.zeros(max_exceptions, np.uint32),
+                   exc_zz=np.zeros(max_exceptions, np.uint32))
+    curr_q = (curr_q_out if curr_q_out is not None
+              else np.empty((c, h, w), np.uint16))
+    meta = np.zeros(2, np.int64)
+    bits = int(lib.fh_depth_encode_temporal(
+        d.reshape(-1), p.reshape(-1), c, h, w, max_exceptions, allowed,
+        len(allowed), int(guess_bits), int(quant_shift), zz_tmp,
+        out["words"], curr_q.reshape(-1), out["exc_idx"], out["exc_zz"],
+        meta))
+    if bits < 0:
+        return None
+    wpr = max(1, int(meta[1]))
+    out["row_first"][:] = 0  # P-frames carry no row bases
+    return dict(
+        words=out["words"][: rows * wpr].reshape(c, h, wpr),
+        row_first=out["row_first"].reshape(c, h),
+        exc_idx=out["exc_idx"], exc_zz=out["exc_zz"],
+        exc_count=np.int32(meta[0])), bits, curr_q
 
 
 def stage_points_xyz(xyz: np.ndarray, out: np.ndarray) -> int:

@@ -195,3 +195,73 @@ def test_quantized_native_matches_reference(shift):
             | (d.astype(np.int32) > 65535 - (1 << shift)))
     assert err[(d != 0) & ~edge].max() <= (1 << (shift - 1))
     assert err[d != 0].max() <= (1 << shift) - 1
+
+
+def test_temporal_roundtrip_and_gain():
+    """P-frame roundtrip: decode(prev_q + coded residual) reproduces the
+    quantized depth exactly; on a slowly-changing scene the temporal
+    width is narrower than the spatial one."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+        EncodedDepth, decode_depth, decode_depth_temporal,
+        encode_depth_reference, encode_depth_temporal_reference,
+        quantize_reference)
+    rng = np.random.default_rng(3)
+    h, w = 40, 64
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    frames = []
+    for k in range(2):
+        d = (3000 + 400 * np.sin(u / 9.0) + 300 * np.cos(v / 7.0)
+             + 4.0 * k + rng.integers(-1, 2, (h, w))).astype(np.uint16)
+        d[rng.random((h, w)) < 0.02] = 0
+        frames.append(d[None])
+    qs = 2
+    enc0, b0 = encode_depth_reference(frames[0], quant_shift=qs)
+    e0 = EncodedDepth(words=jnp.asarray(enc0["words"]),
+                      row_first=jnp.asarray(enc0["row_first"]),
+                      exc_idx=jnp.asarray(enc0["exc_idx"].astype(np.int32)),
+                      exc_zz=jnp.asarray(enc0["exc_zz"].astype(np.int32)),
+                      exc_count=jnp.int32(len(enc0["exc_idx"])))
+    d0, q0 = decode_depth(e0, h, w, b0, qs, return_series=True)
+    np.testing.assert_array_equal(np.asarray(q0),
+                                  quantize_reference(frames[0], qs))
+
+    res = encode_depth_temporal_reference(frames[1], np.asarray(q0),
+                                          quant_shift=qs)
+    assert res is not None
+    enc1, b1, curr_q_ref = res
+    # slow scene: temporal residuals are narrower than spatial deltas
+    _, b1_spatial = encode_depth_reference(frames[1], quant_shift=qs)
+    assert b1 <= b1_spatial
+    e1 = EncodedDepth(words=jnp.asarray(enc1["words"]),
+                      row_first=jnp.asarray(enc1["row_first"]),
+                      exc_idx=jnp.asarray(enc1["exc_idx"].astype(np.int32)),
+                      exc_zz=jnp.asarray(enc1["exc_zz"].astype(np.int32)),
+                      exc_count=jnp.int32(len(enc1["exc_idx"])))
+    d1, q1 = decode_depth_temporal(e1, q0, h, w, b1, qs)
+    np.testing.assert_array_equal(np.asarray(q1), curr_q_ref)
+    np.testing.assert_array_equal(
+        np.asarray(d1), quantize_reference(frames[1], qs).astype(
+            np.int32) << qs)
+    # holes stay exact zeros
+    assert (np.asarray(d1)[frames[1] == 0] == 0).all()
+
+
+def test_temporal_encoder_rejects_hole_churn():
+    """Random per-frame dropout makes prev-hole pixels carry full
+    magnitude: with a tiny exception budget the P-encoder must refuse."""
+    import numpy as np
+    from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+        encode_depth_temporal_reference, quantize_reference)
+    rng = np.random.default_rng(9)
+    h, w = 32, 48
+    base = np.full((1, h, w), 4000, np.uint16)
+    prev = base.copy()
+    prev[0][rng.random((h, w)) < 0.3] = 0
+    curr = base.copy()
+    curr[0][rng.random((h, w)) < 0.3] = 0
+    res = encode_depth_temporal_reference(
+        curr, quantize_reference(prev, 2), max_exceptions=4,
+        allowed_bits=(2, 3, 4), quant_shift=2)
+    assert res is None

@@ -246,3 +246,59 @@ def test_frame_inputs_defaults_match_config():
     assert d["fp_threshold"] == cfg.flyingpixels_filter_threshold
     assert d["fp_max_distance"] == cfg.flyingpixels_max_distance
     assert d["ps_threshold"] == cfg.point_sequence_filter_threshold
+
+
+def test_frame_inputs_defaults_match_config_defaults():
+    """ADVICE r2: FrameInputs' runtime-filter NamedTuple defaults must not
+    drift from the FusionConfig defaults (callers building FrameInputs
+    directly inherit them)."""
+    from ros_gpu_depthmap_fusion_tpu.pipeline.engine import FrameInputs
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    cfg = FusionConfig()
+    d = FrameInputs._field_defaults
+    assert d["fp_threshold"] == cfg.flyingpixels_filter_threshold
+    assert d["fp_max_distance"] == cfg.flyingpixels_max_distance
+    assert d["ps_threshold"] == cfg.point_sequence_filter_threshold
+
+
+def test_temporal_link_codec_matches_spatial():
+    """dpcm_temporal engine output == dpcm engine output frame by frame
+    (P-frames reconstruct the exact same quantized depth), and P-frames
+    actually engage on a slowly-changing stream."""
+    from ros_gpu_depthmap_fusion_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    kw = dict(
+        num_depth_streams=2, depth_height=16, depth_width=24,
+        crop_min=(-6, -6, -6), crop_max=(6, 6, 6),
+        voxel_min=(-6, -6, -6), voxel_max=(6, 6, 6),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=64, rollbuffer_seq_capacity=8,
+        max_points_per_sequence=32, depth_codec_quant_shift=2,
+        depth_codec_keyframe_interval=4, emit_raw_points=True)
+    rng = np.random.default_rng(5)
+    engs = {c: FusionEngine(FusionConfig(**kw, depth_link_codec=c))
+            for c in ("dpcm", "dpcm_temporal")}
+    intr = PinholeIntrinsics.default_for(24, 16)
+    eye = np.eye(4, dtype=np.float32)
+    base = (2000 + 50 * rng.standard_normal((16, 24))).astype(np.uint16)
+    saw_p = False
+    for f in range(6):
+        d = (base.astype(np.int64) + 3 * f).astype(np.uint16)
+        d[rng.random((16, 24)) < 0.03] = 0
+        outs = {}
+        for name, eng in engs.items():
+            for s in range(2):
+                eng.add_depthmap(s, d, intr, eye, eye)
+            outs[name] = eng.process(10.0 + f / 30.0)
+        if engs["dpcm_temporal"]._last_frame_bits is not None \
+                and engs["dpcm_temporal"]._last_frame_bits < 0:
+            saw_p = True
+        a, b = outs["dpcm"], outs["dpcm_temporal"]
+        assert int(a.raw_count) == int(b.raw_count)
+        np.testing.assert_array_equal(np.asarray(a.raw_points),
+                                      np.asarray(b.raw_points))
+        np.testing.assert_array_equal(np.asarray(a.occupancy_u8),
+                                      np.asarray(b.occupancy_u8))
+    assert saw_p, "no P-frame engaged on a slowly-changing stream"

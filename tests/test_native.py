@@ -190,3 +190,38 @@ def test_assemble_objects_matches_python_path():
             np.testing.assert_allclose(
                 oa.topview.shapes.world.box.center,
                 ob.topview.shapes.world.box.center, atol=1e-9)
+
+
+def test_native_temporal_encoder_matches_reference():
+    """fh_depth_encode_temporal == the python reference (words, excs,
+    curr_q) at every chosen width."""
+    from ros_gpu_depthmap_fusion_tpu.utils import native
+    from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+        encode_depth_temporal_reference, quantize_reference)
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    h, w = 24, 37
+    prev = (2000 + rng.integers(0, 600, (2, h, w))).astype(np.uint16)
+    prev[rng.random((2, h, w)) < 0.05] = 0
+    curr = prev.astype(np.int64) + rng.integers(-6, 7, (2, h, w))
+    curr = np.clip(curr, 0, 65535).astype(np.uint16)
+    curr[rng.random((2, h, w)) < 0.05] = 0
+    for qs in (0, 2):
+        pq = quantize_reference(prev, qs)
+        ref = encode_depth_temporal_reference(curr, pq, quant_shift=qs)
+        got = native.depth_encode_temporal(curr, pq, quant_shift=qs)
+        assert (ref is None) == (got is None)
+        if ref is None:
+            continue
+        renc, rbits, rq = ref
+        genc, gbits, gq = got
+        assert rbits == gbits
+        np.testing.assert_array_equal(gq, rq)
+        np.testing.assert_array_equal(genc["words"], renc["words"])
+        ne = int(genc["exc_count"])
+        assert ne == len(renc["exc_idx"])
+        np.testing.assert_array_equal(genc["exc_idx"][:ne],
+                                      renc["exc_idx"])
+        np.testing.assert_array_equal(genc["exc_zz"][:ne], renc["exc_zz"])
