@@ -117,7 +117,10 @@ def main():
         depth_codec_quant_shift=3,
         depth_codec_max_exceptions=12288,
         lidar_link_quant_step=0.002,
-        voxelize_partials_capacity=384 * 1024,
+        # the moving scene's worst frame produces ~443k level-1 runs
+        # (stderr prints the true count vs this cap every run; the
+        # partials sort is size-flat in this range, measured r3_probe2)
+        voxelize_partials_capacity=512 * 1024,
         emit_raw_points=False,  # publish-parity: only the voxelized cloud
     )
     # pipeline_depth=1: frame k's packet rides the h2d link while step k-1
@@ -238,26 +241,43 @@ def main():
     eng.enable_mapping = True
     eng.mapping = MappingPipeline(cfg, eng.grid)
     # warm the mapping path OUTSIDE the timed window (first cycle compiles
-    # the bitmap pack + segmentation programs)
+    # the segmentation programs)
     out = run_frame(0)
     t0 = time.time()
-    res = eng.mapping.process(out.occupancy_u8)
+    res = eng.mapping.process_packed(out.occupancy_bits)
     log(f"mapping warm cycle {time.time() - t0:.2f}s "
         f"({len(res.objects)} objects)")
-    worker = AsyncMappingWorker(eng.mapping)
+    # the mapping-on loop runs at the reference's 30 Hz DESIGN rate (its
+    # resample timer, launch:29-32): an unpaced loop grows the device
+    # queue without bound and every mapping d2h then waits behind the
+    # whole queue — which benchmarks queue depth, not mapping capacity.
+    # Fused headline above stays the unpaced number.
+    worker = AsyncMappingWorker(eng.mapping, packed=True)
     t0 = time.time()
-    map_iters = 2 * iters
+    map_iters = 3 * iters
+    period = 1.0 / 30.0
+    # hand the worker the bitmap of a frame whose STEP HAS FINISHED: the
+    # freshest frame's d2h would block behind the whole device queue
+    # (measured 80 -> 430 ms growing). Two frames of lag ~ one pipeline
+    # depth + one in-flight step at the 30 Hz cadence.
+    from collections import deque
+    bits_lag = deque(maxlen=2)
     for f in range(1, map_iters + 1):
         out = run_frame(f)
-        worker.submit(out.occupancy_u8)
+        bits_lag.append(out.occupancy_bits)
+        worker.submit(bits_lag[0])
+        lag = t0 + f * period - time.time()
+        if lag > 0:
+            time.sleep(lag)
     _ = int(np.asarray(out.fused_count))
     dt_map = time.time() - t0
     map_fps = map_iters / dt_map
     cycles = worker.cycles
     worker.close()
     tracks = len(worker.latest().tracks) if worker.latest() else 0
-    log(f"mapping-on: {map_fps:.2f} fused fps, {cycles / dt_map:.1f} "
-        f"mapping cycles/s ({cycles}/{map_iters} frames mapped, "
+    log(f"mapping-on @30Hz pacing: {map_fps:.2f} fused fps, "
+        f"{cycles / dt_map:.1f} mapping cycles/s "
+        f"({cycles}/{map_iters} frames mapped, "
         f"{tracks} tracks); total bench time {time.time() - t_start:.0f}s")
     # secondary metrics first; the HEADLINE metric is the last line (the
     # driver records the tail)

@@ -131,12 +131,35 @@ class MappingPipeline:
         return np.unpackbits(packed, bitorder="little",
                              count=self.grid.num_cells).reshape(z, y, x)
 
+    def process_packed(self, occupancy_bits,
+                       dt: float | None = None,
+                       with_contours: bool = True) -> MappingResult:
+        """Mapping step from the fused step's packed bitmap output
+        (``FrameOutputs.occupancy_bits``): the d2h is ONE small
+        materialization — no separate pack dispatch on the link."""
+        import time as _t
+        t0 = _t.perf_counter()
+        packed = np.asarray(occupancy_bits)
+        t1 = _t.perf_counter()
+        z, y, x = self.grid.shape_zyx
+        occ = np.unpackbits(packed, bitorder="little",
+                            count=self.grid.num_cells).reshape(z, y, x)
+        if self.backend == "host":
+            res = self._segment_host(occ)
+            t2 = _t.perf_counter()
+            out = self._finish(res, dt, with_contours)
+            t3 = _t.perf_counter()
+            # phase budget of the latest cycle (ms): d2h / segment / rest
+            self.last_phase_ms = ((t1 - t0) * 1e3, (t2 - t1) * 1e3,
+                                  (t3 - t2) * 1e3)
+            return out
+        return self.process(jnp.asarray(occ.reshape(-1)), dt, with_contours)
+
     def process(self, occupancy_u8: jnp.ndarray,
                 dt: float | None = None,
                 with_contours: bool = True) -> MappingResult:
         """One mapping step on a flat ``[num_cells]`` (or padded) occupancy
         vector."""
-        dt = self.cfg.tracking_dt if dt is None else dt
         z, y, x = self.grid.shape_zyx
         occ = occupancy_u8[: self.grid.num_cells].reshape(z, y, x)
         if self.backend == "host":
@@ -152,6 +175,11 @@ class MappingPipeline:
                        merged_of_label=host[2], num_merged=int(host[3]),
                        voxel_count=host[4], centroid=host[5], vmin=host[6],
                        vmax=host[7])
+        return self._finish(res, dt, with_contours)
+
+    def _finish(self, res: dict, dt: float | None,
+                with_contours: bool) -> MappingResult:
+        dt = self.cfg.tracking_dt if dt is None else dt
         objects = build_objects(
             labels=res["labels"], num_labels=res["num_labels"],
             merged_of_label=res["merged_of_label"],
@@ -197,8 +225,10 @@ class AsyncMappingWorker:
     #: upper clamp for the measured inter-cycle dt (seconds)
     dt_max = 2.0
 
-    def __init__(self, pipeline: MappingPipeline):
+    def __init__(self, pipeline: MappingPipeline, packed: bool = False):
         self.pipeline = pipeline
+        #: submitted grids are FrameOutputs.occupancy_bits bitmaps
+        self.packed = packed
         self._q: "queue.Queue" = queue.Queue(maxsize=1)
         self._latest: Optional[MappingResult] = None
         self._lock = threading.Lock()
@@ -240,7 +270,8 @@ class AsyncMappingWorker:
                   else min(max(now - self._last_cycle_t,
                                self.pipeline.cfg.tracking_dt), self.dt_max))
             self._last_cycle_t = now
-            res = self.pipeline.process(occ, dt=dt)
+            res = (self.pipeline.process_packed(occ, dt=dt) if self.packed
+                   else self.pipeline.process(occ, dt=dt))
             with self._lock:
                 self._latest = res
                 self.cycles += 1

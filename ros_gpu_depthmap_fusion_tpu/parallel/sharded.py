@@ -78,6 +78,7 @@ def sharded_initial_state(cfg: FusionConfig, grid: VoxelGrid,
             cfg.rollbuffer_point_capacity, cfg.rollbuffer_seq_capacity),
         historic_occupancy=jnp.zeros((padded,), jnp.int32),
         frame_index=jnp.int32(0),
+        prev_depth_q=jnp.zeros((1, 1, 1), jnp.uint16),
     )
     return jax.device_put(state, state_shardings(mesh))
 
@@ -90,6 +91,7 @@ def state_shardings(mesh: Mesh):
             rbmod.make_rollbuffer(1, 1)),
         historic_occupancy=NamedSharding(mesh, P(SPACE_AXIS)),
         frame_index=rep,
+        prev_depth_q=rep,
     )
 
 
@@ -258,7 +260,8 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
 
         new_state = EngineState(
             rollbuffer=rb, historic_occupancy=historic,
-            frame_index=state.frame_index + 1)
+            frame_index=state.frame_index + 1,
+            prev_depth_q=state.prev_depth_q)
         out = ShardedFrameOutputs(
             fused_points=fused_points,
             fused_counts=fused_count[None],
@@ -272,6 +275,7 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
         rollbuffer=jax.tree.map(lambda _: P(), rbmod.make_rollbuffer(1, 1)),
         historic_occupancy=P(SPACE_AXIS),
         frame_index=P(),
+        prev_depth_q=P(),
     )
     depth_spec = P(STREAM_AXIS) if depth_bits is None else EncodedDepth(
         words=P(STREAM_AXIS), row_first=P(STREAM_AXIS), exc_idx=P(),

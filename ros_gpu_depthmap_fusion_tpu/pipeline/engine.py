@@ -49,7 +49,8 @@ from ros_gpu_depthmap_fusion_tpu.ops.pallas.flying_pixels import (
 from ros_gpu_depthmap_fusion_tpu.ops.stencil import filter_point_sequence
 from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import crop_points, compact
 from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
-    scatter_occupancy, update_historic_occupancy, occupancy_to_u8)
+    occupancy_bitmap, scatter_occupancy, update_historic_occupancy,
+    occupancy_to_u8)
 from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
     voxelize_average, voxelize_average_packed, voxelize_average_rle,
     voxelize_occupied)
@@ -109,6 +110,9 @@ class FrameOutputs(NamedTuple):
     raw_points: jnp.ndarray     # [total_cap, 4] compacted world points
     raw_count: jnp.ndarray
     occupancy_u8: jnp.ndarray   # [num_cells] uint8 (historic, decayed)
+    # binarized occupancy packed 8 cells/byte — the mapping consumer's
+    # cheap d2h payload (ops.voxel.occupancy_bitmap)
+    occupancy_bits: jnp.ndarray
     seq_selected_count: jnp.ndarray
     # true (unclamped) level-1 run count of the RLE voxelize path; a value
     # above cfg.voxelize_partials_capacity (or its N//4 default) means
@@ -341,6 +345,7 @@ def fusion_step(state: EngineState,
         fused_points=fused_points, fused_count=fused_count,
         raw_points=raw_points, raw_count=raw_count,
         occupancy_u8=occupancy_u8,
+        occupancy_bits=occupancy_bitmap(historic),
         seq_selected_count=sel.point_count,
         vox_partials_count=vox_partials,
     )
@@ -462,6 +467,12 @@ class FusionEngine:
         self.pipeline_depth = int(pipeline_depth)
         self._xfer = None
         self._pending = None  # (future, depth_bits) of the frame in flight
+        # first frames run the encode+put inline: the step's cold compile
+        # is an RPC lasting minutes on this platform, and issuing the
+        # transfer thread's device_put concurrently with it has been
+        # observed to wedge the tunnel — keep the client single-threaded
+        # until the hot program exists
+        self._sync_warmup = 2
         if self.pipeline_depth:
             import concurrent.futures
             self._xfer = concurrent.futures.ThreadPoolExecutor(
@@ -560,8 +571,16 @@ class FusionEngine:
             # stages frame k+1; the future completes before frame k+2's
             # staging can touch frame k's buffers.
             prev = self._pending
-            self._pending = self._xfer.submit(
-                self._encode_and_put, pkt, self._depth_host, scalars)
+            if self._sync_warmup > 0:
+                self._sync_warmup -= 1
+                import concurrent.futures as _cf
+                fut: "_cf.Future" = _cf.Future()
+                fut.set_result(self._encode_and_put(
+                    pkt, self._depth_host, scalars))
+                self._pending = fut
+            else:
+                self._pending = self._xfer.submit(
+                    self._encode_and_put, pkt, self._depth_host, scalars)
             self.clear()
             if prev is None:
                 return None
