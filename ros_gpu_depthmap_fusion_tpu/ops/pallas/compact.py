@@ -92,6 +92,12 @@ def _emit_slabs(vals, tgt, total, base_slabs, is_last,
     q = jnp.floor(tgt * (1.0 / SLAB))          # slab index of each element
     r = tgt - q * SLAB
     onehot_r = (r == col).astype(jnp.float32)  # [SLAB, BN], built once
+    # transpose ONCE, outside the trip loop: the dot below contracts the
+    # one-hot on its SUBLANES (the MXU-native rhs position). Contracting
+    # the [SLAB, BN] form on lanes instead makes Mosaic re-lay out the
+    # 4 MB operand inside every fori_loop trip — measured 13.1 -> 9.6 ms
+    # on the level-1 RLE kernel from this one change.
+    onehot_t = jnp.transpose(onehot_r, (1, 0))  # [BN, SLAB]
     n_full = total // SLAB
     # trip count: full slabs, + the partial one on the last block
     trips = n_full + jnp.where(is_last & (total % SLAB > 0), 1, 0)
@@ -101,7 +107,7 @@ def _emit_slabs(vals, tgt, total, base_slabs, is_last,
     def slab_select(s):
         gate = (q == s.astype(jnp.float32)).astype(jnp.float32)  # [1, BN]
         return jax.lax.dot_general(
-            vals * gate, onehot_r, (((1,), (1,)), ((), ())),
+            vals * gate, onehot_t, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)          # [DP, SLAB]
 
