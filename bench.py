@@ -218,7 +218,10 @@ def main():
 
     # timed: async frames pipeline through the link; the hard drain at the
     # end is INSIDE the window so only fully completed work is counted.
-    windows, iters = 5, 30
+    # The tunnel drifts between fast and slow phases lasting ~10 s, so
+    # windows are long enough (~2 s) that the median spans phases instead
+    # of landing entirely inside one.
+    windows, iters = 5, 60
     rates = []
     for wd in range(windows):
         t0 = time.time()

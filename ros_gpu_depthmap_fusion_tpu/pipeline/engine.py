@@ -475,8 +475,14 @@ class FusionEngine:
         self._sync_warmup = 2
         if self.pipeline_depth:
             import concurrent.futures
+            # TWO pipeline stages: the DPCM encode of frame k+1 runs
+            # while frame k's packet rides the h2d link — a single
+            # thread serializing encode (~8 ms) + put (~17 ms at 1 MB)
+            # was the frame-rate ceiling once the device step got fast
             self._xfer = concurrent.futures.ThreadPoolExecutor(
-                1, thread_name_prefix="fusion-xfer")
+                1, thread_name_prefix="fusion-enc")
+            self._put_pool = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="fusion-put")
         self.clear()
 
     def set_runtime_filters(self, fp_threshold=None, fp_max_distance=None,
@@ -579,8 +585,9 @@ class FusionEngine:
                     pkt, self._depth_host, scalars))
                 self._pending = fut
             else:
-                self._pending = self._xfer.submit(
-                    self._encode_and_put, pkt, self._depth_host, scalars)
+                enc_fut = self._xfer.submit(
+                    self._encode, pkt, self._depth_host, scalars)
+                self._pending = self._put_pool.submit(self._put, enc_fut)
             self.clear()
             if prev is None:
                 return None
@@ -594,9 +601,17 @@ class FusionEngine:
         self.clear()
         return out
 
+    def _put(self, enc_fut):
+        """Stage 2: snapshot + device_put of an encoded packet (runs on
+        the put worker; blocks on its frame's encode, while the NEXT
+        frame's encode proceeds on the encode worker)."""
+        view, depth_bits = enc_fut.result()
+        self._last_frame_bits = depth_bits
+        return jax.device_put(np.array(view)), depth_bits
+
     def _encode_and_put(self, pkt, depth_host, scalars):
-        """Depth-link encode into the packet tail + one device_put of the
-        whole frame. Runs on the transfer worker in pipelined mode.
+        """Synchronous encode + put (warmup frames and the non-pipelined
+        path).
 
         The np.array snapshot before device_put is required for
         correctness, not just pipelining: device_put may zero-copy a numpy
@@ -604,6 +619,13 @@ class FusionEngine:
         this packet is restaged two frames later — without the copy the
         step can observe frame k+2 bytes (real flake caught by
         test_engine_pipelined_matches_sync)."""
+        view, depth_bits = self._encode(pkt, depth_host, scalars)
+        self._last_frame_bits = depth_bits
+        return jax.device_put(np.array(view)), depth_bits
+
+    def _encode(self, pkt, depth_host, scalars):
+        """Stage 1: depth-link encode into the packet tail; returns the
+        packet view + signed bit width."""
         depth_bits, exc_count = None, 0
         cfg = self.cfg
         pkt_out = dict(words=pkt.tail, row_first=pkt.row_first,
@@ -674,9 +696,7 @@ class FusionEngine:
             if flat.size % 2:
                 pkt.tail[n_pairs] = np.uint32(flat[-1])
         pkt.set_scalars(exc_count, *scalars)
-        self._last_frame_bits = depth_bits
-        return (jax.device_put(np.array(pkt.view(depth_bits))),
-                depth_bits)
+        return pkt.view(depth_bits), depth_bits
 
     def flush(self) -> Optional[FrameOutputs]:
         """Drain the in-flight frame (pipelined mode): dispatch and return
