@@ -22,6 +22,12 @@ def main():
                     choices=["slam", "groundtruth"])
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--ba-every", type=int, default=8)
+    ap.add_argument("--codec", default="dpcm",
+                    choices=["none", "dpcm", "dpcm_temporal"],
+                    help="depth-link codec (dpcm_temporal adds P-frames "
+                         "against the previous frame — real slow-moving "
+                         "camera streams code 1-2 bits narrower)")
+    ap.add_argument("--codec-quant-shift", type=int, default=0)
     ap.add_argument("--hard", action="store_true",
                     help="render the HARD synthetic benchmark sequence "
                          "(640x480, 150 frames, aggressive orbit with "
@@ -50,11 +56,16 @@ def main():
 
     res = run_tum_sequence(root, pose_source=args.pose_source,
                            max_frames=args.max_frames,
-                           ba_every=args.ba_every)
+                           ba_every=args.ba_every, codec=args.codec,
+                           codec_quant_shift=args.codec_quant_shift)
     print(f"frames processed:   {res.frames}")
     print(f"keyframes:          {res.keyframes}")
     print(f"occupied cells:     {res.occupied_cells}")
     print(f"fused points (last frame): {res.fused_points_last}")
+    if res.codec_i_frames or res.codec_p_frames:
+        print(f"depth link: {res.codec_p_frames} P / "
+              f"{res.codec_i_frames} I frames, "
+              f"{res.codec_mean_bytes / 1e3:.1f} KB/frame mean")
     if res.ate_rmse_m is not None:
         print(f"ATE RMSE:           {res.ate_rmse_m*100:.2f} cm")
         if res.ate_rmse_m > 0.05:

@@ -648,8 +648,12 @@ class FusionEngine:
                     quant_shift=cfg.depth_codec_quant_shift,
                     curr_q_out=self._host_prev_q_spare)
                 if res is not None and self._last_bits > 0 \
-                        and res[1] > self._last_bits:
-                    res = None  # wider than spatial: not worth a P-frame
+                        and res[1] >= self._last_bits:
+                    # not STRICTLY narrower than the last spatial width:
+                    # a P-frame buys nothing (same bucket = same bytes)
+                    # and risks staying wide when the scene's spatial
+                    # width would have adapted down — fall back
+                    res = None
             if res is not None:
                 enc, p_bits, curr_q = res
                 exc_count = int(enc["exc_count"])

@@ -42,6 +42,11 @@ class TumRunResult:
     occupied_cells: int
     fused_points_last: int
     keyframes: int
+    # depth-link codec accounting: frames coded temporally (P) vs
+    # spatially (I) and the mean payload in bytes/frame
+    codec_p_frames: int = 0
+    codec_i_frames: int = 0
+    codec_mean_bytes: float = 0.0
 
 
 def run_tum_sequence(root: str,
@@ -49,7 +54,9 @@ def run_tum_sequence(root: str,
                      pose_source: str = "slam",
                      max_frames: Optional[int] = None,
                      ba_every: int = 8,
-                     intensity_from_depth: bool = True) -> TumRunResult:
+                     intensity_from_depth: bool = True,
+                     codec: str = "dpcm",
+                     codec_quant_shift: int = 0) -> TumRunResult:
     ds = TumRgbdDataset(root)
     intr = ds.intrinsics
     if cfg is None:
@@ -63,13 +70,17 @@ def run_tum_sequence(root: str,
             voxel_occupancy_lifetime=10,
             flyingpixels_filter_threshold=0.3,
             rollbuffer_point_capacity=1024,
-            max_points_per_sequence=64)
+            max_points_per_sequence=64,
+            depth_link_codec=codec,
+            depth_codec_quant_shift=codec_quant_shift)
     engine = FusionEngine(cfg)
     odo = RgbdOdometry(intr, max_keypoints=512, min_inliers=12,
                        inlier_threshold=0.08)
 
     est_positions: List[np.ndarray] = []
     gt_positions: List[np.ndarray] = []
+    codec_bytes: List[int] = []
+    p_frames = i_frames = 0
     out = None
     n = 0
     for frame in ds:
@@ -99,6 +110,13 @@ def run_tum_sequence(root: str,
                             np.asarray(pose, np.float32))
         # scale depth via config (engine uses cfg.depth_scale)
         out = engine.process(frame.stamp)
+        fb = engine._last_frame_bits
+        if fb is not None:
+            codec_bytes.append(4 * engine.layout.total_words(fb))
+            if fb < 0:
+                p_frames += 1
+            else:
+                i_frames += 1
         est_positions.append(np.asarray(pose)[:3, 3])
         if frame.tf_world_cam is not None:
             gt_positions.append(frame.tf_world_cam[:3, 3])
@@ -122,7 +140,10 @@ def run_tum_sequence(root: str,
         groundtruth=gt_arr,
         occupied_cells=occ,
         fused_points_last=int(out.fused_count) if out else 0,
-        keyframes=len(odo.keyframes))
+        keyframes=len(odo.keyframes),
+        codec_p_frames=p_frames, codec_i_frames=i_frames,
+        codec_mean_bytes=float(np.mean(codec_bytes)) if codec_bytes
+        else 0.0)
 
 
 def _write_intrinsics(root: str, intr) -> None:

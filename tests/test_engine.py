@@ -276,6 +276,10 @@ def test_temporal_link_codec_matches_spatial():
         voxel_size=(0.5, 0.5, 0.5),
         rollbuffer_point_capacity=64, rollbuffer_seq_capacity=8,
         max_points_per_sequence=32, depth_codec_quant_shift=2,
+        # tight exception budget so the chosen widths reflect the data
+        # (at test scale the default 8192 budget absorbs every overflow
+        # and both coders trivially pick B=2)
+        depth_codec_max_exceptions=48,
         depth_codec_keyframe_interval=4, emit_raw_points=True)
     rng = np.random.default_rng(5)
     engs = {c: FusionEngine(FusionConfig(**kw, depth_link_codec=c))
