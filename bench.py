@@ -46,14 +46,15 @@ def _supervised() -> int:
     """Run the benchmark in a child process with timeout + retry: the TPU
     tunnel in this environment occasionally wedges a fresh process at
     startup (see CLAUDE.md); a 60 s cool-down and retry recovers it. The
-    timeout budgets for a cold XLA cache (first fused-step compile can
-    take ~2 min)."""
+    timeout budgets for a fully COLD XLA cache — compiles run remotely
+    and the big sort/pallas programs can take 5-10 min in total (a killed
+    cold attempt still populates the cache, so the retry runs warm)."""
     env = dict(os.environ, BENCH_CHILD="1")
     for attempt in range(3):
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=900)
+                env=env, capture_output=True, text=True, timeout=1500)
             sys.stderr.write(proc.stderr[-6000:])
             lines = [ln for ln in proc.stdout.splitlines()
                      if ln.startswith("{")]
