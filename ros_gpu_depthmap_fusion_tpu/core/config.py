@@ -123,11 +123,14 @@ class FusionConfig:
     max_objects: int = 64               # static cap for extracted objects
     # detail pruning for the host assembly: objects whose world-xy AABB
     # area is below this get stats-only stubs (no contours/hulls/shapes).
-    # Sound for tracking: min-area-rect area <= AABB area, so every pruned
-    # object is below object_min_area and tracking skips it anyway
-    # (cpp:2776-2777). -1 (default) = prune below object_min_area;
+    # Sound for the TRACKING consumer: min-area-rect area <= AABB area, so
+    # every pruned object is below object_min_area and tracking skips it
+    # anyway (cpp:2776-2777) — but viz/downstream consumers of
+    # MappingResult would lose sub-threshold contours, so the DEFAULT is
     # 0 = build full detail for everything (reference behavior).
-    mapping_detail_min_area: float = -1.0
+    # -1 = prune below object_min_area (opt-in where the cycle budget is
+    # measured, e.g. bench.py's mapping loop).
+    mapping_detail_min_area: float = 0.0
     max_tracks: int = 128               # static cap for live tracks
 
     # --- radius filter: params exist in the reference but the filter is

@@ -99,7 +99,7 @@ def _extract_codes(words: jnp.ndarray, width: int, bits: int):
     """Per-pixel ``bits``-wide codes from the packed word stream."""
     c, h, wpr = words.shape
     if 32 % bits == 0:
-        # aligned fast path (B in {2, 4, 8, 16}): every field lives inside
+        # aligned fast path (B in {2, 4, 8} of B_BUCKETS): every field lives inside
         # one word, so one shift+mask per pixel recovers it — 1/32 the
         # intermediate volume of the generic bit-explode below
         ppw = 32 // bits

@@ -445,7 +445,11 @@ class FusionEngine:
         self._depth_host = self._depth_hosts[0]
         self._last_bits = -1  # spatial codec width guess (stable)
         self._last_p_bits = -1      # temporal width guess
-        self._last_frame_bits = None  # signed bits of the latest frame
+        self._last_frame_bits = None  # signed bits of the latest ENCODED frame
+        # signed codec bits of the frame whose outputs the latest
+        # process()/flush() call RETURNED (public; in pipelined mode the
+        # encode worker's _last_frame_bits is one frame ahead and racy)
+        self.last_frame_bits = None
         self._host_prev_q = None    # encoder-side P-frame prediction
         self._host_prev_q_spare = None
         self._frames_since_key = 0
@@ -592,11 +596,13 @@ class FusionEngine:
             if prev is None:
                 return None
             inp, prev_bits = prev.result()
+            self.last_frame_bits = prev_bits
             self.state, out = self.step(self.state, inp,
                                         depth_bits=prev_bits)
             return out
         inp, depth_bits = self._encode_and_put(pkt, self._depth_host,
                                                scalars)
+        self.last_frame_bits = depth_bits
         self.state, out = self.step(self.state, inp, depth_bits=depth_bits)
         self.clear()
         return out
@@ -710,6 +716,7 @@ class FusionEngine:
         fut = self._pending
         self._pending = None
         inp, bits = fut.result()
+        self.last_frame_bits = bits
         self.state, out = self.step(self.state, inp, depth_bits=bits)
         return out
 

@@ -110,7 +110,10 @@ def run_tum_sequence(root: str,
                             np.asarray(pose, np.float32))
         # scale depth via config (engine uses cfg.depth_scale)
         out = engine.process(frame.stamp)
-        fb = engine._last_frame_bits
+        # bits of the frame whose outputs process() RETURNED (public
+        # accessor; the private encoder field is a frame ahead in
+        # pipelined mode)
+        fb = engine.last_frame_bits
         if fb is not None:
             codec_bytes.append(4 * engine.layout.total_words(fb))
             if fb < 0:

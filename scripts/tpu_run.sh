@@ -27,7 +27,10 @@ for attempt in 1 2 3 4; do
     sleep 15
     waited=$((waited + 15))
     if [ "$waited" -ge 300 ] && [ $((waited % 60)) -eq 0 ]; then
-      lines=$(grep -cv -e WARNING -e "^$" "$tmp" 2>/dev/null || echo 0)
+      # NOTE: grep -c prints 0 AND exits 1 on no match — appending
+      # `|| echo 0` here would make $lines the two-line string "0\n0"
+      # and break the -eq test (the wedge detector would never fire)
+      lines=$(grep -cv -e WARNING -e "^$" "$tmp" 2>/dev/null)
       if [ "${lines:-0}" -eq 0 ]; then
         echo "[tpu_run] attempt $attempt: no output after ${waited}s — wedged; killing" >&2
         kill_tree "$wpid"
