@@ -24,8 +24,11 @@ Baseline: the reference's designed processing rate is 30 Hz on a desktop
 GPU with up to 6 streams (launch:29-32; no published numbers exist —
 BASELINE.md). ``vs_baseline`` is fps / 30.
 
-HEADLINE = MEDIAN of the timed windows (max reported alongside in stderr;
-the tunnel occasionally hiccups for hundreds of ms, the spread shows it).
+HEADLINE = MEDIAN of 8 x 45-frame timed windows (max reported alongside;
+the tunnel drifts between fast/slow phases lasting tens of seconds at
++-35%, so stderr logs per-window fps + selected-lidar-count + process()
+host time, and an isolated h2d/step speed-of-light measurement runs
+before AND after the windows — drift is then visible and attributable).
 
 Prints JSON lines on stdout; the LAST line is the headline metric.
 Everything needed to explain the number (native-lib availability, codec
@@ -332,18 +335,29 @@ def main():
     # Fused headline above stays the unpaced number.
     worker = AsyncMappingWorker(eng.mapping, packed=True)
     t0 = time.time()
-    map_iters = 3 * iters
+    map_iters = 4 * iters
     period = 1.0 / 30.0
-    # hand the worker the bitmap of a frame whose STEP HAS FINISHED: the
-    # freshest frame's d2h would block behind the whole device queue
-    # (measured 80 -> 430 ms growing). Two frames of lag ~ one pipeline
-    # depth + one in-flight step at the 30 Hz cadence.
+    # BOUNDED device queue + guaranteed-drained bitmaps: after dispatching
+    # frame k, frame k-LAG is hard-drained (its d2h result was prefetched
+    # with copy_to_host_async, so the sync is one short round trip) and
+    # ITS bitmap goes to the worker — the worker's 420 KB d2h is then a
+    # pure transfer instead of waiting behind every queued step (measured
+    # 2.5 s/cycle at ~50 queued frames in the unpaced r3 shape;
+    # benchmarks/r4_queue_probe.py shows the lag-drain itself is free).
+    # If fusion can't hold 30 Hz the drain backpressures the loop to the
+    # step rate and the queue stays at LAG frames.
     from collections import deque
-    bits_lag = deque(maxlen=2)
+    LAG = 4
+    lagq = deque()
     for f in range(1, map_iters + 1):
         out = run_frame()
-        bits_lag.append(out.occupancy_bits)
-        worker.submit(bits_lag[0])
+        if hasattr(out.fused_count, "copy_to_host_async"):
+            out.fused_count.copy_to_host_async()
+        lagq.append(out)
+        if len(lagq) > LAG:
+            drained = lagq.popleft()
+            _ = int(np.asarray(drained.fused_count))
+            worker.submit(drained.occupancy_bits)
         lag = t0 + f * period - time.time()
         if lag > 0:
             time.sleep(lag)

@@ -28,6 +28,18 @@ class FusionConfig:
     depth_width: int = 848              # RealSense D4xx default shape
     depth_scale: float = 0.001          # u16 depth unit -> meters
 
+    # --- heterogeneous streams (reference addDepthmap takes per-map
+    # cols/rows/depthScale, gpu_depthmap_fusion.cpp:798-816, and dispatches
+    # per-map shapes, :1612-1642 — a mixed D435+D455 rig) ---
+    # per-stream (height, width); None = all streams share
+    # (depth_height, depth_width). Streams with equal shapes are processed
+    # as one batched group; distinct shapes become separate static groups
+    # whose (cell, partial-sum) rows join at the voxelize partials merge
+    # (exact — integer partial sums commute).
+    stream_shapes: "Tuple[Tuple[int, int], ...] | None" = None
+    # per-stream depth unit -> meters; None = all streams use depth_scale
+    depth_scales: "Tuple[float, ...] | None" = None
+
     # --- frames (kept for dataset/TF bookkeeping on host) ---
     world_frame: str = "world"
     crop_frame: str = "crop"
@@ -157,9 +169,46 @@ class FusionConfig:
         return self.depth_height * self.depth_width
 
     @property
+    def resolved_stream_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        """Per-stream (height, width), defaulting to the global shape."""
+        if self.stream_shapes is None:
+            return ((self.depth_height, self.depth_width),) \
+                * self.num_depth_streams
+        assert len(self.stream_shapes) == self.num_depth_streams, \
+            (len(self.stream_shapes), self.num_depth_streams)
+        return tuple((int(h), int(w)) for h, w in self.stream_shapes)
+
+    @property
+    def resolved_depth_scales(self) -> Tuple[float, ...]:
+        """Per-stream depth unit -> meters, defaulting to depth_scale."""
+        if self.depth_scales is None:
+            return (self.depth_scale,) * self.num_depth_streams
+        assert len(self.depth_scales) == self.num_depth_streams
+        return tuple(float(s) for s in self.depth_scales)
+
+    @property
+    def is_heterogeneous(self) -> bool:
+        return (self.stream_shapes is not None
+                and len(set(self.stream_shapes)) > 1)
+
+    @property
+    def stream_groups(self) -> Tuple[Tuple[Tuple[int, ...], int, int], ...]:
+        """Streams grouped by shared (h, w), first-seen order:
+        ``((stream_indices, h, w), ...)``. One group for homogeneous rigs."""
+        groups: list = []
+        by_shape: dict = {}
+        for i, (h, w) in enumerate(self.resolved_stream_shapes):
+            if (h, w) not in by_shape:
+                by_shape[(h, w)] = len(groups)
+                groups.append(([i], h, w))
+            else:
+                groups[by_shape[(h, w)]][0].append(i)
+        return tuple((tuple(ix), h, w) for ix, h, w in groups)
+
+    @property
     def depthmaps_total_elements(self) -> int:
         """Total depth-derived point slots (ref: m_depthmapsTotalElements)."""
-        return self.num_depth_streams * self.depth_pixels_per_stream
+        return sum(h * w for h, w in self.resolved_stream_shapes)
 
     @property
     def total_point_capacity(self) -> int:

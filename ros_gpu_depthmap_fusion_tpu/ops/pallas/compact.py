@@ -87,17 +87,19 @@ def _emit_slabs(vals, tgt, total, base_slabs, is_last,
     (measured: the unfactored compare dominated the whole kernel).
     """
     bn = vals.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (SLAB, bn), 0).astype(
-        jnp.float32)
     q = jnp.floor(tgt * (1.0 / SLAB))          # slab index of each element
     r = tgt - q * SLAB
-    onehot_r = (r == col).astype(jnp.float32)  # [SLAB, BN], built once
-    # transpose ONCE, outside the trip loop: the dot below contracts the
-    # one-hot on its SUBLANES (the MXU-native rhs position). Contracting
-    # the [SLAB, BN] form on lanes instead makes Mosaic re-lay out the
-    # 4 MB operand inside every fori_loop trip — measured 13.1 -> 9.6 ms
-    # on the level-1 RLE kernel from this one change.
-    onehot_t = jnp.transpose(onehot_r, (1, 0))  # [BN, SLAB]
+    # Build the one-hot DIRECTLY in the [BN, SLAB] layout the dot below
+    # contracts (rhs contraction on sublanes, the MXU-native position):
+    # only the [1, BN] residue vector is relayouted to [BN, 1] (32 KB),
+    # not a full [SLAB, BN] matrix (4 MB). Earlier versions built
+    # [SLAB, BN] and transposed once per block — hoisting that transpose
+    # out of the trip loop took the level-1 RLE kernel 13.1 -> 9.6 ms;
+    # building transposed kills the remaining 4 MB relayout per block.
+    r_t = jnp.transpose(r, (1, 0))              # [BN, 1]
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (bn, SLAB), 1).astype(
+        jnp.float32)
+    onehot_t = (r_t == col_t).astype(jnp.float32)   # [BN, SLAB]
     n_full = total // SLAB
     # trip count: full slabs, + the partial one on the last block
     trips = n_full + jnp.where(is_last & (total % SLAB > 0), 1, 0)

@@ -24,17 +24,25 @@ carrying state across steps):
 
 1. segment starts ``st[i] = key[i] != key[i-1]`` (lane 0 compares against
    the carried key of the previous block's open run).
-2. segmented inclusive prefix sums of the value planes via log-stride
-   roll+add steps gated by a "boundary seen within the last s lanes"
-   accumulator (Hillis-Steele segmented scan, all VPU, element-on-lanes
-   layout — no transposes).
-3. run ends ``en[i] = key[i] != key[i+1]`` (the block's last lane never
-   ends — its open run carries; on the final block it ends iff valid).
-   If the block starts a new run while a non-sentinel run is carried, the
-   carried ``(key, sums)`` row is emitted first (injected into the
-   256-lane residue buffer).
-4. end rows are selected with one-hot MXU matmuls and emitted through the
-   same aligned residue/slab machinery as :mod:`.compact`.
+2. ONE single-plane inclusive prefix scan assigns each lane its valid-run
+   ordinal ``rid_v`` (Hillis-Steele over the start flags — [1, BN] only).
+   The value planes are NOT scanned at all: the run summation happens on
+   the MXU in step 4.
+3. every lane of a run that ENDS inside the block (i.e. lanes before the
+   block's last segment start; on the final block, all valid lanes) gets
+   the run's output slot ``t = res + rid_v - 1 + carried``; lanes of the
+   open trailing run are reduced into the [DP-1, 1] run carry instead.
+   If a carried non-sentinel run completes (a new run starts at lane 0,
+   or the continuation ends mid-block), its carried sums are injected
+   into the residue buffer at slot ``res`` — where the continuation
+   members' MXU sums land too, so the halves combine exactly.
+4. MEMBERSHIP one-hot MXU matmuls: ``M[i, j] = (t[i] mod SLAB == j)``
+   holds a 1 for EVERY member lane of an emitted run, so the slab matmul
+   ``slab[d, j] = sum_i vals[d, i] * M[i, j]`` computes the per-run sums
+   directly (exact: integer-valued f32 products and sums < 2^24). The key
+   plane is gated to each run's END lane only, so keys are emitted once,
+   not summed. Emission uses the same aligned residue/slab machinery as
+   :mod:`.compact`.
 
 Keys and integer-valued payloads ride as exact f32 (< 2^24).
 """
@@ -74,6 +82,7 @@ def _kernel(planes_ref, out_ref, cnt_ref,
     keys = planes[0:1]                  # [1, bn] f32
     vals = planes[1:]                   # [DP-1, bn]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
+    lane_f = lane.astype(jnp.float32)
 
     carry_key = run_carry[0, 0]
     carry_sums = run_carry[1:, 0:1]     # [DP-1, 1]
@@ -85,52 +94,69 @@ def _kernel(planes_ref, out_ref, cnt_ref,
                    (keys != carry_key).astype(jnp.float32),
                    (keys != prev_key).astype(jnp.float32))
     st0 = st[0, 0]
-
-    # carried row folds into lane 0 when the run continues...
-    acc = vals + jnp.where(lane == 0, carry_sums * (1.0 - st0), 0.0)
-    # ...or is emitted as the first pending row when a new run starts
-    pre = jnp.where((st0 > 0.0) & (carry_key != sent), 1, 0)
-
-    # 2. segmented inclusive prefix sums (gate: no boundary in (i-s, i])
-    g = st
-    shift = 1
-    while shift < bn:
-        live_l = lane >= shift
-        gate = jnp.where(live_l, 1.0 - g, 0.0)    # f32 0/1
-        acc = acc + gate * jnp.roll(acc, shift, axis=1)
-        g = jnp.maximum(g, jnp.where(live_l, jnp.roll(g, shift, axis=1),
-                                     0.0))
-        shift *= 2
-
-    # 3. run ends (last lane carries unless this is the final block)
-    is_last = b == n_blocks - 1
-    next_key = jnp.roll(keys, -1, axis=1)
     valid = (keys != sent).astype(jnp.float32)
-    brk = (keys != next_key).astype(jnp.float32)
-    last_f = jnp.where(is_last, 1.0, 0.0)
-    en = valid * jnp.where(lane == bn - 1, last_f, brk)
+    is_last = b == n_blocks - 1
+    cont_any = carry_key != sent        # a non-sentinel run is carried
 
-    # inject the emitted carry row into the residue buffer at position res
-    @pl.when(pre > 0)
+    # 2. the ONLY scan: valid-run ordinal per lane (continuation run = 0)
+    rid_v = _prefix_incl(st * valid, bn)          # [1, bn]
+
+    # lanes at/after the block's LAST segment start belong to the open
+    # trailing run (no start at all -> -1 -> the whole block continues
+    # the carried run); everything before it is emitted this block
+    last_start = jnp.max(jnp.where(st > 0.0, lane_f, -1.0))   # scalar
+    ends = jnp.where(is_last, 1.0, (lane_f < last_start)
+                     .astype(jnp.float32))
+    emit_m = valid * ends               # member lanes of emitted runs
+
+    # 3. output slot per emitted-run member. The carried row (when it
+    #    completes) occupies slot ``res``: either as a full injected row
+    #    (a new run starts at lane 0) or merged with its continuation
+    #    members' MXU sums (same slot, exact integer adds)
+    cont_f = jnp.where(cont_any, 1.0, 0.0)
+    t = res.astype(jnp.float32) + rid_v - 1.0 + cont_f
+    tgt = jnp.where(emit_m > 0.0, t, -1.0)
+
+    # run-end lanes: emit each run's key exactly once + count the runs
+    next_key = jnp.roll(keys, -1, axis=1)
+    brk = jnp.where(lane == bn - 1, 1.0,
+                    (keys != next_key).astype(jnp.float32))
+    en = emit_m * brk
+    k_en = jnp.sum(en).astype(jnp.int32)
+
+    # complete carried row pending BEFORE this block's runs (st0 == 1);
+    # a continuation that ends mid-block is counted by k_en instead
+    pre = jnp.where(cont_any & (st0 > 0.0), 1, 0)
+    inject = cont_any & ((last_start >= 0.0) | is_last)
+
+    @pl.when(inject)
     def _inject():
         slab_lane = jax.lax.broadcasted_iota(jnp.int32, (1, SLAB), 1)
-        row = jnp.concatenate(
-            [carry_key.reshape(1, 1), carry_sums], axis=0)   # [DP, 1]
+        # continuation (st0 == 0): only the SUMS are injected — the run's
+        # key arrives via its end lane in the membership matmul; injecting
+        # it here too would double it. Complete carried row (st0 == 1):
+        # no member lanes exist, inject the key as well. (Row built by
+        # masking the carry column in place — Mosaic rejects [1,1]+[D,1]
+        # concats with mismatched sublane offsets.)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (DP, 1), 0)
+        row = jnp.where((rr == 0) & (st0 <= 0.0), 0.0, run_carry[:, 0:1])
         residue[...] = residue[...] + jnp.where(slab_lane == res, row, 0.0)
 
-    # 4. ranks + slab emission of end rows
-    incl = _prefix_incl(en, bn)
-    k_en = incl[0, bn - 1].astype(jnp.int32)
-    excl = incl - en
-    tgt = jnp.where(en > 0.0, excl + (res + pre).astype(jnp.float32), -1.0)
+    # 4. membership-matmul emission: vals of every member lane sum into
+    #    the run's slot on the MXU; keys ride only on end lanes
     total = res + pre + k_en
-    emit_planes = jnp.concatenate([keys, acc], axis=0)       # [DP, BN]
+    emit_planes = jnp.concatenate([keys * en, vals * emit_m], axis=0)
     _emit_slabs(emit_planes, tgt, total, base_slabs, is_last,
                 residue, slab_scr, out_ref, sems, cap_pad)
 
-    # 5. carry the open run (the block's last lane)
-    run_carry[:, 0:1] = jnp.concatenate(
-        [keys[:, bn - 1:], acc[:, bn - 1:]], axis=0)
+    # 5. reduce the open trailing run into the carry (accumulating when
+    #    the whole block continued the carried run)
+    open_m = (lane_f >= last_start).astype(jnp.float32)
+    open_sums = jnp.sum(vals * open_m, axis=1, keepdims=True)
+    accum_prev = cont_any & (last_start < 0.0)
+    new_carry = open_sums + jnp.where(accum_prev, carry_sums, 0.0)
+    run_carry[0:1, 0:1] = keys[:, bn - 1:]
+    run_carry[1:, 0:1] = new_carry
 
     carry[0] = total % SLAB
     carry[1] = base_slabs + total // SLAB

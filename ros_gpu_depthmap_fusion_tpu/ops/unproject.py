@@ -34,7 +34,9 @@ def unproject_depthmaps(depth_u16: jnp.ndarray,
         intrinsics: ``[C, 4]`` float (fx, fy, cx, cy) per camera.
         tf_world:   ``[C, 4, 4]`` world <- camera transforms.
         tf_crop:    ``[C, 4, 4]`` crop  <- camera transforms.
-        depth_scale: depth unit -> meters (default 1e-3).
+        depth_scale: depth unit -> meters — a python float shared by all
+            streams, or a per-camera ``[C]`` array (the reference's
+            per-map ``depthScale``, gpu_depthmap_fusion.cpp:798-816).
         rectify_map: optional ``[C, H*W, 2]`` (or broadcastable) float map
             of rectified (u, v) pixel coordinates per linear pixel index —
             the reference reserves ``m_bufRectifyMap`` for this and
@@ -67,7 +69,10 @@ def unproject_depthmaps(depth_u16: jnp.ndarray,
     cx = intrinsics[:, 2:3]
     cy = intrinsics[:, 3:4]
 
-    z = depth * depth_scale
+    scale = jnp.asarray(depth_scale, jnp.float32)
+    if scale.ndim == 1:
+        scale = scale[:, None]          # per-camera [C, 1] broadcast
+    z = depth * scale
     x = (u - cx) / fx * z
     y = (v - cy) / fy * z
     ones = jnp.ones_like(z)

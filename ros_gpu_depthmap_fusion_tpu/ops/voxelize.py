@@ -243,27 +243,69 @@ def voxelize_average_rle(points: jnp.ndarray,
     integer-commutative, so merging at the partial level reproduces the
     concatenated-input result.
     """
+    return voxelize_average_rle_domains(
+        [(points, cell_indices, mask)], grid, capacity,
+        return_occupancy=return_occupancy,
+        partials_capacity=partials_capacity, interpret=interpret,
+        return_partials_count=return_partials_count,
+        extra_points=extra_points, extra_cell_indices=extra_cell_indices,
+        extra_mask=extra_mask)
+
+
+def voxelize_average_rle_domains(domains,
+                                 grid: VoxelGrid,
+                                 capacity: int,
+                                 return_occupancy: bool = False,
+                                 partials_capacity: int = 0,
+                                 interpret: bool = False,
+                                 return_partials_count: bool = False,
+                                 extra_points: jnp.ndarray | None = None,
+                                 extra_cell_indices=None,
+                                 extra_mask=None):
+    """:func:`voxelize_average_rle` over MULTIPLE raster-coherent domains.
+
+    ``domains`` is a sequence of ``(points [N_i, 4], cell_indices [N_i],
+    mask [N_i])`` sections — one per depth-stream resolution group of a
+    heterogeneous rig (reference per-map cols/rows dispatch,
+    gpu_depthmap_fusion.cpp:1612-1642). Each domain gets its own level-1
+    raster pre-reduction with a pixel-proportional share of
+    ``partials_capacity``; all partials (plus the raster-incoherent
+    ``extra_*`` rows) join at the partials sort. Exact: integer partial
+    sums commute, so any domain split reproduces the concatenated-input
+    result bit-for-bit. The reported partials count is the SUM of the
+    per-domain true run counts (> capacity share sum means rows dropped).
+    """
     from ros_gpu_depthmap_fusion_tpu.ops.pallas.segreduce import (
         rle_reduce_pallas)
     num_cells = grid.num_cells
     assert num_cells < (1 << 24), ("rle voxelize rides cell ids as exact "
                                    "f32; use packed/exact above 2^24 cells")
-    n = mask.shape[0]
+    n_total = sum(int(m.shape[0]) for _, _, m in domains)
     if partials_capacity <= 0:
-        partials_capacity = max(1 << 16, n // 4)
-    partials_capacity = min(partials_capacity, n)
+        partials_capacity = max(1 << 16, n_total // 4)
+    partials_capacity = min(partials_capacity, n_total)
     sentinel = num_cells
-    key = jnp.where(mask, cell_indices.astype(jnp.int32),
-                    jnp.int32(sentinel))
-    q, bits = _quantize_cell_relative(points, cell_indices, grid)
-    vals = jnp.concatenate(
-        [jnp.where(mask[:, None], q, 0.0),
-         mask.astype(points.dtype)[:, None]], axis=-1)
 
-    # level 1: raster-order run reduction (l1_true = unclamped run count,
-    # the overflow detector)
-    pk, ps, _, l1_true = rle_reduce_pallas(key, vals, partials_capacity,
-                                           sentinel, interpret=interpret)
+    pks, pss = [], []
+    l1_true = jnp.int32(0)
+    bits = (10, 10, 12)
+    for points, cell_indices, mask in domains:
+        n = int(mask.shape[0])
+        cap_d = (partials_capacity if len(domains) == 1
+                 else min(max(1 << 12, partials_capacity * n // n_total), n))
+        key = jnp.where(mask, cell_indices.astype(jnp.int32),
+                        jnp.int32(sentinel))
+        q, bits = _quantize_cell_relative(points, cell_indices, grid)
+        vals = jnp.concatenate(
+            [jnp.where(mask[:, None], q, 0.0),
+             mask.astype(points.dtype)[:, None]], axis=-1)
+        # level 1: raster-order run reduction (true counts sum into the
+        # overflow detector)
+        pk, ps, _, l1t = rle_reduce_pallas(key, vals, cap_d, sentinel,
+                                           interpret=interpret)
+        pks.append(pk)
+        pss.append(ps)
+        l1_true = l1_true + l1t
     if extra_points is not None:
         ekey = jnp.where(extra_mask,
                          extra_cell_indices.astype(jnp.int32),
@@ -273,8 +315,11 @@ def voxelize_average_rle(points: jnp.ndarray,
         evals = jnp.concatenate(
             [jnp.where(extra_mask[:, None], eq, 0.0),
              extra_mask.astype(extra_points.dtype)[:, None]], axis=-1)
-        pk = jnp.concatenate([pk, ekey])
-        ps = jnp.concatenate([ps, evals], axis=0)
+        pks.append(ekey)
+        pss.append(evals)
+    pk = pks[0] if len(pks) == 1 else jnp.concatenate(pks)
+    ps = pss[0] if len(pss) == 1 else jnp.concatenate(pss, axis=0)
+    points = domains[0][0]  # dtype carrier for the reconstruction below
     # group the partials: small sort, then the same kernel on sorted runs
     sk, s0, s1, s2, s3 = jax.lax.sort(
         (pk, ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3]), num_keys=1)

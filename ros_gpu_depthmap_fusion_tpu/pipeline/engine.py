@@ -149,7 +149,7 @@ def fusion_step(state: EngineState,
     ``[C, H, W]`` u16 depth."""
     c = cfg.num_depth_streams
     h, w = cfg.depth_height, cfg.depth_width
-    n_depth = c * h * w
+    n_depth = cfg.depthmaps_total_elements
     sel_cap = cfg.rollbuffer_point_capacity
     rb = state.rollbuffer
     sb = inp.seq_batch
@@ -178,36 +178,77 @@ def fusion_step(state: EngineState,
     seq_world, seq_crop, seq_valid, _ = rbmod.gather_selection(
         rb, sel, inp.tf_world_move, inp.tf_crop_move, sel_cap)
 
-    # -- 6. decode the depth link (if compressed) + unproject.
+    # -- 6/7. decode the depth link + unproject + flying-pixel filter,
+    #    per resolution GROUP (one group for homogeneous rigs; a mixed
+    #    D435+D455 rig processes each shape as its own batched chain —
+    #    reference per-map cols/rows/depthScale dispatch,
+    #    gpu_depthmap_fusion.cpp:798-816, :1612-1642).
     #    depth_bits > 0: spatial I-frame; depth_bits < 0: temporal P-frame
     #    at |bits| against state.prev_depth_q (dpcm_temporal only) --
     prev_depth_q = state.prev_depth_q
-    if depth_bits is None:
-        depth_u16 = inp.depth
-    elif depth_bits > 0:
-        if cfg.depth_link_codec == "dpcm_temporal":
-            depth_u16, prev_depth_q = decode_depth(
-                inp.depth, h, w, depth_bits,
-                cfg.depth_codec_quant_shift, return_series=True)
-        else:
-            depth_u16 = decode_depth(inp.depth, h, w, depth_bits,
-                                     cfg.depth_codec_quant_shift)
+    groups = cfg.stream_groups
+    hetero = len(groups) > 1
+    if hetero:
+        assert cfg.depth_link_codec != "dpcm_temporal", (
+            "dpcm_temporal is not supported with heterogeneous stream "
+            "shapes (per-group P-frame state is not plumbed)")
+        scales = cfg.resolved_depth_scales
+        bits_t = (depth_bits if depth_bits is not None
+                  else (None,) * len(groups))
+        g_world, g_crop, g_mask = [], [], []
+        for gi, (ix, gh, gw) in enumerate(groups):
+            ixa = np.asarray(ix, np.int32)   # static gather indices
+            bits_g = bits_t[gi]
+            if bits_g is None:
+                depth_u16 = inp.depth[gi]
+            else:
+                depth_u16 = decode_depth(inp.depth[gi], gh, gw, bits_g,
+                                         cfg.depth_codec_quant_shift)
+            scale_g = jnp.asarray([scales[i] for i in ix], jnp.float32)
+            pc_g, pw_g, pcr_g, dm_g = unproject_depthmaps(
+                depth_u16, inp.intrinsics[ixa], inp.tf_world[ixa],
+                inp.tf_crop[ixa], scale_g)
+            if cfg.enable_flyingpixels_filter:
+                dm_g = filter_flying_pixels(
+                    pc_g, dm_g, gh, gw,
+                    cfg.flyingpixels_filter_size, inp.fp_threshold,
+                    cfg.flyingpixels_filter_enable_rot45,
+                    inp.fp_max_distance)
+            ng = len(ixa) * gh * gw
+            g_world.append(pw_g.reshape(ng, 4))
+            g_crop.append(pcr_g.reshape(ng, 4))
+            g_mask.append(dm_g.reshape(ng))
     else:
-        depth_u16, prev_depth_q = decode_depth_temporal(
-            inp.depth, state.prev_depth_q, h, w, -depth_bits,
-            cfg.depth_codec_quant_shift)
-    pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
-        depth_u16, inp.intrinsics, inp.tf_world, inp.tf_crop,
-        cfg.depth_scale)
+        if depth_bits is None:
+            depth_u16 = inp.depth
+        elif depth_bits > 0:
+            if cfg.depth_link_codec == "dpcm_temporal":
+                depth_u16, prev_depth_q = decode_depth(
+                    inp.depth, h, w, depth_bits,
+                    cfg.depth_codec_quant_shift, return_series=True)
+            else:
+                depth_u16 = decode_depth(inp.depth, h, w, depth_bits,
+                                         cfg.depth_codec_quant_shift)
+        else:
+            depth_u16, prev_depth_q = decode_depth_temporal(
+                inp.depth, state.prev_depth_q, h, w, -depth_bits,
+                cfg.depth_codec_quant_shift)
+        scale = (jnp.asarray(cfg.resolved_depth_scales, jnp.float32)
+                 if cfg.depth_scales is not None else cfg.depth_scale)
+        pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
+            depth_u16, inp.intrinsics, inp.tf_world, inp.tf_crop, scale)
 
-    # -- 7. flying-pixel filter (camera frame) --
-    if cfg.enable_flyingpixels_filter:
-        dmask = filter_flying_pixels(
-            pts_cam, dmask, h, w,
-            cfg.flyingpixels_filter_size,
-            inp.fp_threshold,
-            cfg.flyingpixels_filter_enable_rot45,
-            inp.fp_max_distance)
+        # -- 7. flying-pixel filter (camera frame) --
+        if cfg.enable_flyingpixels_filter:
+            dmask = filter_flying_pixels(
+                pts_cam, dmask, h, w,
+                cfg.flyingpixels_filter_size,
+                inp.fp_threshold,
+                cfg.flyingpixels_filter_enable_rot45,
+                inp.fp_max_distance)
+        g_world = [pts_world.reshape(n_depth, 4)]
+        g_crop = [pts_crop.reshape(n_depth, 4)]
+        g_mask = [dmask.reshape(n_depth)]
 
     # -- resolve the voxel-mean mode up front (decides the data layout) --
     mode = cfg.voxel_mean_mode
@@ -232,35 +273,37 @@ def fusion_step(state: EngineState,
     vox_partials = jnp.int32(0)
     fresh = None
     if split:
-        depth_world = pts_world.reshape(n_depth, 4)
-        depth_mask = crop_points(pts_crop.reshape(n_depth, 4),
-                                 dmask.reshape(n_depth),
-                                 cfg.crop_min, cfg.crop_max)
+        domains = []
+        raw_count = jnp.int32(0)
+        for pw_f, pcr_f, dm_f in zip(g_world, g_crop, g_mask):
+            m_f = crop_points(pcr_f, dm_f, cfg.crop_min, cfg.crop_max)
+            raw_count = raw_count + jnp.sum(m_f.astype(jnp.int32))
+            domains.append(
+                (pw_f, grid.cell_index_clamped(pw_f[:, :3]), m_f))
         seq_valid = crop_points(seq_crop, seq_valid,
                                 cfg.crop_min, cfg.crop_max)
         raw_count = jnp.minimum(
-            jnp.sum(depth_mask.astype(jnp.int32))
-            + jnp.sum(seq_valid.astype(jnp.int32)), jnp.int32(total_cap))
-        raw_points = jnp.zeros((1, 4), depth_world.dtype)
-        cell_ids = grid.cell_index_clamped(depth_world[:, :3])
+            raw_count + jnp.sum(seq_valid.astype(jnp.int32)),
+            jnp.int32(total_cap))
+        raw_points = jnp.zeros((1, 4), g_world[0].dtype)
         seq_cell_ids = grid.cell_index_clamped(seq_world[:, :3])
+        from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
+            voxelize_average_rle_domains)
         fused_points, fused_count, occ_cells, vox_partials = (
-            voxelize_average_rle(
-                depth_world, cell_ids, depth_mask, grid, output_capacity,
+            voxelize_average_rle_domains(
+                domains, grid, output_capacity,
                 return_occupancy="cells",
                 partials_capacity=cfg.voxelize_partials_capacity,
                 return_partials_count=True,
                 extra_points=seq_world, extra_cell_indices=seq_cell_ids,
                 extra_mask=seq_valid))
     else:
-        # -- concatenate depth section + rollbuffer selection section (the
-        #    reference appends lidar after depth, m_depthmapsTotalElements)
-        all_world = jnp.concatenate(
-            [pts_world.reshape(n_depth, 4), seq_world], axis=0)
-        all_crop = jnp.concatenate(
-            [pts_crop.reshape(n_depth, 4), seq_crop], axis=0)
-        all_mask = jnp.concatenate(
-            [dmask.reshape(n_depth), seq_valid], axis=0)
+        # -- concatenate depth section(s) + rollbuffer selection section
+        #    (the reference appends lidar after depth,
+        #    m_depthmapsTotalElements)
+        all_world = jnp.concatenate(g_world + [seq_world], axis=0)
+        all_crop = jnp.concatenate(g_crop + [seq_crop], axis=0)
+        all_mask = jnp.concatenate(g_mask + [seq_valid], axis=0)
 
         # -- 8. crop (crop-frame AABB) --
         all_mask = crop_points(all_crop, all_mask, cfg.crop_min,
@@ -440,10 +483,28 @@ class FusionEngine:
         c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
         # double-buffered like the packets: the transfer worker encodes
         # frame k's depth while the main thread stages frame k+1
-        self._depth_hosts = (np.zeros((c, h, w), np.uint16),
-                             np.zeros((c, h, w), np.uint16))
+        self._hetero = cfg.is_heterogeneous
+        if self._hetero:
+            assert cfg.depth_link_codec != "dpcm_temporal", (
+                "dpcm_temporal is not supported with heterogeneous "
+                "stream shapes")
+            # per-group staging buffers; slot -> (group, position)
+            self._slot_map = {}
+            for gi, (ix, gh, gw) in enumerate(cfg.stream_groups):
+                for pos, slot in enumerate(ix):
+                    self._slot_map[slot] = (gi, pos)
+            self._depth_hosts = tuple(
+                [np.zeros((len(ix), gh, gw), np.uint16)
+                 for ix, gh, gw in cfg.stream_groups]
+                for _ in range(2))
+            # per-group spatial width guesses
+            self._last_bits_g = [-1] * len(cfg.stream_groups)
+            self._last_bits = None
+        else:
+            self._depth_hosts = (np.zeros((c, h, w), np.uint16),
+                                 np.zeros((c, h, w), np.uint16))
+            self._last_bits = -1  # spatial codec width guess (stable)
         self._depth_host = self._depth_hosts[0]
-        self._last_bits = -1  # spatial codec width guess (stable)
         self._last_p_bits = -1      # temporal width guess
         self._last_frame_bits = None  # signed bits of the latest ENCODED frame
         # signed codec bits of the frame whose outputs the latest
@@ -515,7 +576,13 @@ class FusionEngine:
     def add_depthmap(self, slot: int, depth_u16: np.ndarray,
                      intrinsics, tf_world: np.ndarray,
                      tf_crop: np.ndarray):
-        np.copyto(self._depth_host[slot], depth_u16, casting="same_kind")
+        if self._hetero:
+            gi, pos = self._slot_map[slot]
+            np.copyto(self._depth_host[gi][pos], depth_u16,
+                      casting="same_kind")
+        else:
+            np.copyto(self._depth_host[slot], depth_u16,
+                      casting="same_kind")
         self._depth_filled[slot] = True
         self._pkt.intr[slot] = np.asarray(
             intrinsics.as_array() if hasattr(intrinsics, "as_array")
@@ -561,7 +628,11 @@ class FusionEngine:
         pkt = self._pkt
         for slot, filled in enumerate(self._depth_filled):
             if not filled:
-                self._depth_host[slot] = 0
+                if self._hetero:
+                    gi, pos = self._slot_map[slot]
+                    self._depth_host[gi][pos] = 0
+                else:
+                    self._depth_host[slot] = 0
         pkt.tf_world_move[:] = (eye if tf_world_move is None
                                 else tf_world_move)
         pkt.tf_crop_move[:] = eye if tf_crop_move is None else tf_crop_move
@@ -629,9 +700,56 @@ class FusionEngine:
         self._last_frame_bits = depth_bits
         return jax.device_put(np.array(view)), depth_bits
 
+    def _encode_hetero(self, pkt, depth_hosts, scalars):
+        """Per-group depth-link encode (heterogeneous rigs): each
+        resolution group codes its own DPCM section at its own width;
+        the packet's tail is the concatenation of the group segments and
+        ``depth_bits`` becomes a per-group tuple (static per jit
+        variant)."""
+        cfg = self.cfg
+        lo = self.layout
+        bits_list = []
+        tail_off = exc_off = row_off = 0
+        for gi, (cg, gh, gw) in enumerate(lo.groups):
+            d_g = depth_hosts[gi]
+            cap_g = lo.group_exc_caps[gi]
+            exc_count_g = 0
+            bits_g = None
+            if cfg.depth_link_codec == "dpcm":
+                out_g = dict(
+                    words=pkt.tail[tail_off:],
+                    row_first=pkt.row_first[row_off:row_off + cg * gh],
+                    exc_idx=pkt.exc_idx[exc_off:exc_off + cap_g],
+                    exc_zz=pkt.exc_zz[exc_off:exc_off + cap_g])
+                encoded = native.depth_encode(
+                    d_g, cap_g, allowed_bits=B_BUCKETS, out=out_g,
+                    guess_bits=self._last_bits_g[gi],
+                    quant_shift=cfg.depth_codec_quant_shift)
+                if encoded is not None:
+                    enc, bits_g = encoded
+                    exc_count_g = int(enc["exc_count"])
+                    self._last_bits_g[gi] = bits_g
+            if bits_g is None:  # raw u16 pairs for this group
+                flat = d_g.reshape(-1)
+                n_pairs = flat.size // 2
+                seg = pkt.tail[tail_off:]
+                seg[:n_pairs] = flat[: n_pairs * 2].view(np.uint32)
+                if flat.size % 2:
+                    seg[n_pairs] = np.uint32(flat[-1])
+            pkt.buf[lo.off_gmeta + gi] = np.uint32(exc_count_g)
+            bits_list.append(bits_g)
+            tail_off += lo.group_tail_words(gi, bits_g)
+            exc_off += cap_g
+            row_off += cg * gh
+        bits = tuple(bits_list)
+        pkt.set_scalars(0, *scalars)
+        return pkt.view(bits), bits
+
     def _encode(self, pkt, depth_host, scalars):
         """Stage 1: depth-link encode into the packet tail; returns the
         packet view + signed bit width."""
+        if self._hetero:
+            return self._encode_hetero(pkt, depth_host, scalars)
         depth_bits, exc_count = None, 0
         cfg = self.cfg
         pkt_out = dict(words=pkt.tail, row_first=pkt.row_first,

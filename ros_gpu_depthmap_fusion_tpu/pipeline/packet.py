@@ -78,18 +78,43 @@ class PacketLayout(NamedTuple):
     # lidar-link quantization step (0 = f32 xyzw staging; s > 0 = points
     # ride as 3 x u16 multiples of s over [-32768*s, +32767*s))
     seq_quant_step: float = 0.0
+    # heterogeneous rigs (reference per-map cols/rows/depthScale,
+    # gpu_depthmap_fusion.cpp:798-816): per resolution group
+    # (num_streams, h, w); None = homogeneous single-group layout.
+    # Per-group sections (row_first slices, exception caps, tail
+    # segments) are laid out in group order; per-group exc counts ride
+    # in a G-word meta section at off_gmeta.
+    groups: "tuple | None" = None
+    group_exc_caps: "tuple | None" = None
+    off_gmeta: int = 0
 
     @classmethod
     def for_config(cls, cfg: FusionConfig, seq_cap: int,
                    stage_cap: int) -> "PacketLayout":
         c, h, w = cfg.num_depth_streams, cfg.depth_height, cfg.depth_width
-        rows = c * h
         e = cfg.depth_codec_max_exceptions
+        groups = None
+        group_exc_caps = None
+        off_gmeta = 0
+        if cfg.is_heterogeneous:
+            groups = tuple((len(ix), gh, gw)
+                           for ix, gh, gw in cfg.stream_groups)
+            rows = sum(cg * gh for cg, gh, _ in groups)
+            n_total = sum(cg * gh * gw for cg, gh, gw in groups)
+            group_exc_caps = tuple(
+                max(256, e * (cg * gh * gw) // n_total)
+                for cg, gh, gw in groups)
+            e = sum(group_exc_caps)
+        else:
+            rows = c * h
         qs = float(getattr(cfg, "lidar_link_quant_step", 0.0) or 0.0)
         seq_pt_words = (stage_cap * 4 if qs == 0.0
                         else (stage_cap * 3 + 1) // 2)
         off = 10
         f = {}
+        if groups is not None:
+            off_gmeta = off
+            off += len(groups)          # per-group exc_count words
         for name, size in (
                 ("intr", c * 4), ("tf_world", c * 16), ("tf_crop", c * 16),
                 ("tf_world_move", 16), ("tf_crop_move", 16),
@@ -102,18 +127,34 @@ class PacketLayout(NamedTuple):
             off += size
         return cls(c=c, h=h, w=w, rows=rows, seq_cap=seq_cap,
                    stage_cap=stage_cap, exc_cap=e, off_tail=off,
-                   seq_quant_step=qs, **f)
+                   seq_quant_step=qs, groups=groups,
+                   group_exc_caps=group_exc_caps, off_gmeta=off_gmeta,
+                   **f)
 
-    def tail_words(self, bits: Optional[int]) -> int:
+    def group_tail_words(self, gi: int, bits: Optional[int]) -> int:
+        cg, gh, gw = self.groups[gi]
+        if bits is None:
+            return (cg * gh * gw + 1) // 2
+        return cg * gh * words_per_row(gw, abs(bits))
+
+    def tail_words(self, bits) -> int:
+        if self.groups is not None:
+            assert isinstance(bits, tuple) and len(bits) == len(self.groups)
+            return sum(self.group_tail_words(g, b)
+                       for g, b in enumerate(bits))
         if bits is None:  # raw u16 depth pairs
             return (self.rows * self.w + 1) // 2
         # negative bits = temporal P-frame at |bits| (same word layout)
         return self.rows * words_per_row(self.w, abs(bits))
 
-    def total_words(self, bits: Optional[int]) -> int:
+    def total_words(self, bits) -> int:
         return self.off_tail + self.tail_words(bits)
 
     def max_words(self) -> int:
+        if self.groups is not None:
+            g = len(self.groups)
+            return max(self.total_words((None,) * g),
+                       self.total_words((max(B_BUCKETS),) * g))
         return max(self.total_words(None),
                    self.total_words(max(B_BUCKETS)))
 
@@ -200,20 +241,56 @@ def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
     fhdr = _f32(b, 7, 3, (3,))
     n_rf = (lo.rows + 1) // 2
     rf_words = b[lo.off_row_first:lo.off_row_first + n_rf]
-    row_first = unpack_depth_pairs(rf_words)[: lo.rows].reshape(lo.c, lo.h)
-    if bits is None:
-        pairs = b[lo.off_tail:lo.off_tail + lo.tail_words(None)]
-        depth = unpack_depth_pairs(pairs)[: lo.rows * lo.w].reshape(
-            lo.c, lo.h, lo.w)
+    row_first_flat = unpack_depth_pairs(rf_words)[: lo.rows]
+    if lo.groups is not None:
+        # heterogeneous: per-group depth payloads (tuple), each with its
+        # own row_first slice, exception section and tail segment
+        gmeta = _i32(b, lo.off_gmeta, len(lo.groups))
+        depth = []
+        row_off = 0
+        exc_off = 0
+        tail_off = lo.off_tail
+        for gi, (cg, gh, gw) in enumerate(lo.groups):
+            bits_g = bits[gi] if bits is not None else None
+            rows_g = cg * gh
+            tw = lo.group_tail_words(gi, bits_g)
+            cap_g = lo.group_exc_caps[gi]
+            if bits_g is None:
+                pairs = b[tail_off:tail_off + tw]
+                depth.append(unpack_depth_pairs(pairs)[: rows_g * gw]
+                             .reshape(cg, gh, gw))
+            else:
+                wpr = words_per_row(gw, abs(bits_g))
+                depth.append(EncodedDepth(
+                    words=b[tail_off:tail_off + rows_g * wpr].reshape(
+                        cg, gh, wpr),
+                    row_first=row_first_flat[row_off:row_off + rows_g]
+                    .reshape(cg, gh),
+                    exc_idx=_i32(b, lo.off_exc_idx + exc_off, cap_g),
+                    exc_zz=_i32(b, lo.off_exc_zz + exc_off, cap_g),
+                    exc_count=gmeta[gi]))
+            # exception sections have FIXED per-group offsets (the host
+            # encoder writes group g at sum(caps[:g]) whether or not
+            # other groups coded)
+            exc_off += cap_g
+            row_off += rows_g
+            tail_off += tw
+        depth = tuple(depth)
     else:
-        wpr = words_per_row(lo.w, abs(bits))
-        depth = EncodedDepth(
-            words=b[lo.off_tail:lo.off_tail + lo.rows * wpr].reshape(
-                lo.c, lo.h, wpr),
-            row_first=row_first,
-            exc_idx=_i32(b, lo.off_exc_idx, lo.exc_cap),
-            exc_zz=_i32(b, lo.off_exc_zz, lo.exc_cap),
-            exc_count=exc_count)
+        row_first = row_first_flat.reshape(lo.c, lo.h)
+        if bits is None:
+            pairs = b[lo.off_tail:lo.off_tail + lo.tail_words(None)]
+            depth = unpack_depth_pairs(pairs)[: lo.rows * lo.w].reshape(
+                lo.c, lo.h, lo.w)
+        else:
+            wpr = words_per_row(lo.w, abs(bits))
+            depth = EncodedDepth(
+                words=b[lo.off_tail:lo.off_tail + lo.rows * wpr].reshape(
+                    lo.c, lo.h, wpr),
+                row_first=row_first,
+                exc_idx=_i32(b, lo.off_exc_idx, lo.exc_cap),
+                exc_zz=_i32(b, lo.off_exc_zz, lo.exc_cap),
+                exc_count=exc_count)
     # recompute per-point sequence indices from the cumulative counts
     # (staging appends sequences in order): idx[i] = #ends <= i
     seq_count = _i32(b, lo.off_seq_count, lo.seq_cap)
