@@ -155,6 +155,16 @@ class MappingPipeline:
             return out
         return self.process(jnp.asarray(occ.reshape(-1)), dt, with_contours)
 
+    def process_host_grid(self, occ_zyx: np.ndarray,
+                          dt: float | None = None,
+                          with_contours: bool = True) -> MappingResult:
+        """Mapping step from a host-assembled ``[Z, Y, X]`` binarized
+        occupancy (the sharded engine's per-block bitmap assembly —
+        ShardedFusionEngine.segment_and_track). Uses the host backend
+        directly; the device backend would need a redundant h2d."""
+        res = self._segment_host(np.ascontiguousarray(occ_zyx, np.uint8))
+        return self._finish(res, dt, with_contours)
+
     def process(self, occupancy_u8: jnp.ndarray,
                 dt: float | None = None,
                 with_contours: bool = True) -> MappingResult:

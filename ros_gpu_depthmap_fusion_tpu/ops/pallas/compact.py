@@ -52,6 +52,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BN = 8192          # elements per block (lanes of the flag vector)
+# one-hot emission dot precision — HIGHEST is required for exactness of
+# integer-valued f32 payloads (< 2^24); module-level so probes can A/B
+# the MXU pass count (benchmarks/r4_l1_bn.py)
+_DOT_PRECISION = jax.lax.Precision.HIGHEST
 SLAB = 128         # output rows per emitted slab (lane-aligned granule;
                    # the [SLAB, BN] one-hot + iota must fit VMEM)
 DP = 8             # payload planes (padded; sublane-aligned)
@@ -69,7 +73,8 @@ def _prefix_incl(x, bn):
 
 
 def _emit_slabs(vals, tgt, total, base_slabs, is_last,
-                residue, slab_scr, out_ref, sems, cap_pad):
+                residue, slab_scr, out_ref, sems, cap_pad,
+                int_split: bool = False):
     """Shared slab-emission machinery: select pending output rows with
     one-hot MXU matmuls and stream full 256-aligned slabs to the output.
 
@@ -106,12 +111,37 @@ def _emit_slabs(vals, tgt, total, base_slabs, is_last,
     trips = jnp.minimum(trips, jnp.maximum(
         cap_pad // SLAB - base_slabs, 0))
 
-    def slab_select(s):
-        gate = (q == s.astype(jnp.float32)).astype(jnp.float32)  # [1, BN]
-        return jax.lax.dot_general(
-            vals * gate, onehot_t, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # [DP, SLAB]
+    if int_split:
+        # EXACT single-pass bf16 emission for NON-NEGATIVE INTEGER-valued
+        # f32 payloads < 2^24 (the RLE kernel's keys/sums): split each
+        # value into three base-256 digits — each digit <= 255 is exact in
+        # bf16, the one-hot is 0/1, the MXU accumulates in f32, and the
+        # recombination terms are themselves bounded by the < 2^24 total,
+        # so every step is exact. One DEFAULT-precision bf16 pass replaces
+        # the multi-pass f32 HIGHEST dot (measured 8.3 -> 6.0 ms on the
+        # level-1 kernel, benchmarks/r4_dot_precision.py).
+        dp = vals.shape[0]
+        hi = jnp.floor(vals * (1.0 / 65536.0))
+        rem = vals - hi * 65536.0
+        mid = jnp.floor(rem * (1.0 / 256.0))
+        lo = rem - mid * 256.0
+        lhs = jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
+        rhs_b = onehot_t.astype(jnp.bfloat16)
+
+        def slab_select(s):
+            gate = (q == s.astype(jnp.float32)).astype(jnp.bfloat16)
+            out3 = jax.lax.dot_general(
+                lhs * gate, rhs_b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [3*DP, SLAB]
+            return (out3[:dp] * 65536.0 + out3[dp:2 * dp] * 256.0
+                    + out3[2 * dp:])
+    else:
+        def slab_select(s):
+            gate = (q == s.astype(jnp.float32)).astype(jnp.float32)
+            return jax.lax.dot_general(
+                vals * gate, onehot_t, (((1,), (0,)), ((), ())),
+                precision=_DOT_PRECISION,
+                preferred_element_type=jnp.float32)      # [DP, SLAB]
 
     def body(s, _):
         slab = slab_select(s) + jnp.where(s == 0, residue[...], 0.0)

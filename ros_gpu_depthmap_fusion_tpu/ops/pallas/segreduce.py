@@ -62,7 +62,7 @@ from ros_gpu_depthmap_fusion_tpu.ops.pallas.compact import (
 
 def _kernel(planes_ref, out_ref, cnt_ref,
             residue, slab_scr, run_carry, carry, sems, *,
-            n_blocks, cap_pad, sentinel, bn):
+            n_blocks, cap_pad, sentinel, bn, force_break):
     b = pl.program_id(0)
     sent = jnp.float32(sentinel)
 
@@ -93,6 +93,12 @@ def _kernel(planes_ref, out_ref, cnt_ref,
     st = jnp.where(lane == 0,
                    (keys != carry_key).astype(jnp.float32),
                    (keys != prev_key).astype(jnp.float32))
+    if force_break:
+        # bound run length (callers use it to bound run SUMS so partial
+        # rows pack into fewer sort operands); splitting a run only adds
+        # partial rows — level-2 merges them exactly
+        st = jnp.maximum(st, (lane % force_break == 0)
+                         .astype(jnp.float32))
     st0 = st[0, 0]
     valid = (keys != sent).astype(jnp.float32)
     is_last = b == n_blocks - 1
@@ -117,10 +123,11 @@ def _kernel(planes_ref, out_ref, cnt_ref,
     t = res.astype(jnp.float32) + rid_v - 1.0 + cont_f
     tgt = jnp.where(emit_m > 0.0, t, -1.0)
 
-    # run-end lanes: emit each run's key exactly once + count the runs
-    next_key = jnp.roll(keys, -1, axis=1)
-    brk = jnp.where(lane == bn - 1, 1.0,
-                    (keys != next_key).astype(jnp.float32))
+    # run-end lanes: emit each run's key exactly once + count the runs.
+    # A segment ends where the NEXT lane starts one — derived from st so
+    # forced breaks end their fragment too (key-compare alone would miss
+    # the equal-key boundary and corrupt slot accounting)
+    brk = jnp.where(lane == bn - 1, 1.0, jnp.roll(st, -1, axis=1))
     en = emit_m * brk
     k_en = jnp.sum(en).astype(jnp.int32)
 
@@ -146,8 +153,10 @@ def _kernel(planes_ref, out_ref, cnt_ref,
     #    the run's slot on the MXU; keys ride only on end lanes
     total = res + pre + k_en
     emit_planes = jnp.concatenate([keys * en, vals * emit_m], axis=0)
+    # int_split: every plane is a non-negative integer-valued f32 < 2^24
+    # (keys, quantized-coordinate sums, counts) — the exact bf16 path
     _emit_slabs(emit_planes, tgt, total, base_slabs, is_last,
-                residue, slab_scr, out_ref, sems, cap_pad)
+                residue, slab_scr, out_ref, sems, cap_pad, int_split=True)
 
     # 5. reduce the open trailing run into the carry (accumulating when
     #    the whole block continued the carried run)
@@ -168,9 +177,10 @@ def _kernel(planes_ref, out_ref, cnt_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("capacity", "sentinel", "interpret",
-                                    "bn"))
+                                    "bn", "force_break"))
 def _rle_pallas(planes: jnp.ndarray, capacity: int, sentinel: int,
-                interpret: bool = False, bn: int = BN):
+                interpret: bool = False, bn: int = BN,
+                force_break: int = 0):
     dp, n = planes.shape
     assert dp == DP, dp
     n_blocks = -(-n // bn)
@@ -185,7 +195,8 @@ def _rle_pallas(planes: jnp.ndarray, capacity: int, sentinel: int,
         dp, n_blocks, bn).transpose(1, 0, 2)
 
     kernel = functools.partial(_kernel, n_blocks=n_blocks, cap_pad=cap_pad,
-                               sentinel=float(sentinel), bn=bn)
+                               sentinel=float(sentinel), bn=bn,
+                               force_break=force_break)
     out, cnt = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((DP, cap_pad), jnp.float32),
@@ -211,7 +222,8 @@ def _rle_pallas(planes: jnp.ndarray, capacity: int, sentinel: int,
 
 
 def rle_reduce_pallas(keys: jnp.ndarray, vals: jnp.ndarray, capacity: int,
-                      sentinel: int, interpret: bool = False, bn: int = BN):
+                      sentinel: int, interpret: bool = False, bn: int = BN,
+                      force_break: int = 0):
     """Reduce runs of consecutive equal keys to (key, sum) rows.
 
     Args:
@@ -236,7 +248,8 @@ def rle_reduce_pallas(keys: jnp.ndarray, vals: jnp.ndarray, capacity: int,
         [keys.astype(jnp.float32)[None, :], vals.T.astype(jnp.float32),
          jnp.zeros((DP - 1 - d, n), jnp.float32)], axis=0)
     out, true_cnt = _rle_pallas(planes, capacity, int(sentinel),
-                                interpret=interpret, bn=bn)
+                                interpret=interpret, bn=bn,
+                                force_break=force_break)
     cnt = jnp.minimum(true_cnt, jnp.int32(capacity))
     live = jnp.arange(capacity, dtype=jnp.int32) < cnt
     out_keys = jnp.where(live, out[0, :capacity].astype(jnp.int32),

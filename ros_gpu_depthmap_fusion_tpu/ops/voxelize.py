@@ -178,6 +178,36 @@ def voxelize_average_packed(points: jnp.ndarray,
     return out_points, count
 
 
+def _pack_partials(ps: jnp.ndarray):
+    """Pack run-partial rows ``[N, 4]`` (qx, qy, qz, count — exact f32
+    integers bounded by a 128-long run of 10/10/12-bit coords: qx, qy <
+    2^17, qz < 2^20, count <= 2^7) into two u32 words for a narrow sort:
+
+        w0 = qx (17) | qz_lo15 << 17
+        w1 = qy (17) | qz_hi5 << 17 | count << 22
+    """
+    xi = ps[:, 0].astype(jnp.uint32)
+    yi = ps[:, 1].astype(jnp.uint32)
+    zi = ps[:, 2].astype(jnp.uint32)
+    ci = ps[:, 3].astype(jnp.uint32)
+    w0 = xi | ((zi & jnp.uint32(0x7FFF)) << jnp.uint32(17))
+    w1 = (yi | ((zi >> jnp.uint32(15)) << jnp.uint32(17))
+          | (ci << jnp.uint32(22)))
+    return w0, w1
+
+
+def _unpack_partials(w0: jnp.ndarray, w1: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_pack_partials` -> ``[N, 4]`` f32 planes."""
+    m17 = jnp.uint32((1 << 17) - 1)
+    xi = w0 & m17
+    yi = w1 & m17
+    zi = ((w0 >> jnp.uint32(17))
+          | (((w1 >> jnp.uint32(17)) & jnp.uint32(0x1F))
+             << jnp.uint32(15)))
+    ci = w1 >> jnp.uint32(22)
+    return jnp.stack([xi, yi, zi, ci], axis=-1).astype(jnp.float32)
+
+
 def _quantize_cell_relative(points, cell_indices, grid, bits=(10, 10, 12)):
     """Coordinates quantized relative to their cell corner (the packed
     path's 10/10/12 scheme — error <= cell/2048 per axis in x/y, /8192 in
@@ -300,11 +330,18 @@ def voxelize_average_rle_domains(domains,
             [jnp.where(mask[:, None], q, 0.0),
              mask.astype(points.dtype)[:, None]], axis=-1)
         # level 1: raster-order run reduction (true counts sum into the
-        # overflow detector)
+        # overflow detector). bn=4096 measured fastest at the 3.26M-pixel
+        # operating point (benchmarks/r4_l1_bn.py: 8.4 vs 9.5 ms at 8192 —
+        # emission-dot staging scales with bn; level 2 keeps the default).
+        # force_break=128 bounds run length so the partial sums fit the
+        # 2-word packing below (qx/qy sums < 2^17, qz < 2^20, count <=
+        # 2^7); splitting long runs only adds rows that level 2 re-merges
+        # exactly.
         pk, ps, _, l1t = rle_reduce_pallas(key, vals, cap_d, sentinel,
-                                           interpret=interpret)
+                                           interpret=interpret, bn=4096,
+                                           force_break=128)
         pks.append(pk)
-        pss.append(ps)
+        pss.append(_pack_partials(ps))
         l1_true = l1_true + l1t
     if extra_points is not None:
         ekey = jnp.where(extra_mask,
@@ -316,15 +353,19 @@ def voxelize_average_rle_domains(domains,
             [jnp.where(extra_mask[:, None], eq, 0.0),
              extra_mask.astype(extra_points.dtype)[:, None]], axis=-1)
         pks.append(ekey)
-        pss.append(evals)
+        pss.append(_pack_partials(evals))
     pk = pks[0] if len(pks) == 1 else jnp.concatenate(pks)
-    ps = pss[0] if len(pss) == 1 else jnp.concatenate(pss, axis=0)
+    pw0 = (pss[0][0] if len(pss) == 1
+           else jnp.concatenate([p[0] for p in pss]))
+    pw1 = (pss[0][1] if len(pss) == 1
+           else jnp.concatenate([p[1] for p in pss]))
     points = domains[0][0]  # dtype carrier for the reconstruction below
-    # group the partials: small sort, then the same kernel on sorted runs
-    sk, s0, s1, s2, s3 = jax.lax.sort(
-        (pk, ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3]), num_keys=1)
+    # group the partials: the sort carries the packed 2-word sums instead
+    # of 4 f32 planes (operand bytes drive lax.sort's bitonic cost —
+    # 3-op vs 5-op), then the same kernel reduces the sorted runs
+    sk, s0, s1 = jax.lax.sort((pk, pw0, pw1), num_keys=1)
     cells, sums, count, _ = rle_reduce_pallas(
-        sk, jnp.stack([s0, s1, s2, s3], axis=-1), capacity, sentinel,
+        sk, _unpack_partials(s0, s1), capacity, sentinel,
         interpret=interpret)
 
     count = jnp.minimum(count, jnp.int32(capacity))

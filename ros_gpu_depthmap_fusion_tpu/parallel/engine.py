@@ -47,7 +47,8 @@ class ShardedFusionEngine(FusionEngine):
 
     def __init__(self, cfg: FusionConfig, mesh,
                  grid: Optional[VoxelGrid] = None,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0,
+                 enable_mapping: bool = False):
         self.mesh = mesh
         self.cfg = cfg
         self.grid = grid or VoxelGrid.from_config(cfg)
@@ -59,8 +60,13 @@ class ShardedFusionEngine(FusionEngine):
         self._steps = {}
         self._shardings = {}
         self.state = sharded_initial_state(cfg, self.grid, mesh)
-        self.enable_mapping = False
-        self.mapping = None
+        self.enable_mapping = enable_mapping
+        if enable_mapping:
+            from ros_gpu_depthmap_fusion_tpu.mapping.pipeline import (
+                MappingPipeline)
+            self.mapping = MappingPipeline(cfg, self.grid)
+        else:
+            self.mapping = None
         self._stage_cap = cfg.max_points_per_sequence
         self._seq_stage_cap = max(1, cfg.num_point_sequences * 4)
         self._last_bits = -1
@@ -244,7 +250,7 @@ class ShardedFusionEngine(FusionEngine):
         """Concatenate per-stream-shard compacted points into [N, 4]."""
         local_cap = (self.cfg.depth_pixels_per_stream
                      * (self.cfg.num_depth_streams // self.n_stream)
-                     + self.cfg.rollbuffer_point_capacity)
+                     + self.cfg.rollbuffer_point_capacity // self.n_stream)
         raw = np.asarray(out.raw_points).reshape(self.n_stream, local_cap, 4)
         counts = np.asarray(out.raw_counts)
         return np.concatenate(
@@ -258,3 +264,34 @@ class ShardedFusionEngine(FusionEngine):
 
     def occupancy_host(self, out: ShardedFrameOutputs) -> np.ndarray:
         return np.asarray(out.occupancy_u8)[: self.grid.num_cells]
+
+    def occupancy_grid_from_bits(self, out: ShardedFrameOutputs
+                                 ) -> np.ndarray:
+        """Assemble the ``[Z, Y, X]`` binarized occupancy from the
+        per-space-block packed bitmaps (each block byte-padded; the d2h
+        is n_space small slabs totalling ~num_cells/8 bytes)."""
+        from ros_gpu_depthmap_fusion_tpu.parallel.sharded import (
+            padded_num_cells)
+        block = padded_num_cells(self.grid, self.n_space) // self.n_space
+        bb = -(-block // 8)
+        packed = np.asarray(out.occupancy_bits).reshape(self.n_space, bb)
+        occ = np.concatenate(
+            [np.unpackbits(packed[j], bitorder="little", count=block)
+             for j in range(self.n_space)])[: self.grid.num_cells]
+        z, y, x = self.grid.shape_zyx
+        return occ.reshape(z, y, x)
+
+    def segment_and_track(self, out: ShardedFrameOutputs,
+                          dt: float | None = None):
+        """Object segmentation + tracking over the block-partitioned
+        occupancy (reference objectSegmentation + objectTracking,
+        gpu_depthmap_fusion.cpp:2552-2944, in the multi-chip
+        configuration): gather the packed per-block bitmaps
+        (~num_cells/8 bytes — cheap), assemble the full grid on host and
+        reuse the native segmentation backend. Tracks persist on this
+        engine across calls, exactly like the single-chip path."""
+        if self.mapping is None:
+            raise RuntimeError(
+                "engine constructed with enable_mapping=False")
+        return self.mapping.process_host_grid(
+            self.occupancy_grid_from_bits(out), dt)

@@ -13,9 +13,16 @@
 - Average-mode voxelization needs per-cell sums/counts across all cameras:
   one ``lax.psum`` over ``stream``, then each device compacts the occupied
   cells of its own space block (outputs concatenate over ``space``).
-- The lidar rollbuffer is small (<= ~131k points) and is kept replicated;
-  its points are contributed by the first stream row only so average-mode
-  sums are not multiply counted.
+- The lidar rollbuffer is SHARDED over ``stream``: staged sequences are
+  assigned round-robin (rotated per frame) to stream rows; each shard
+  compacts its own sequences out of the replicated staging batch and
+  maintains an independent rollbuffer of 1/n_stream capacity. Shard
+  selections are disjoint by construction, so their contributions join
+  exactly at the existing voxel partial-sum ``psum`` / occupancy ``pmax``
+  — and the aggregation window's MEMORY now scales with the stream axis
+  (the north-star "scale the aggregation window" item, SURVEY §5).
+  Per-shard capacity overflow drops that shard's overflowing sequences
+  only (explicit policy, mirroring the single-chip engine's).
 
 The reference has no distribution story at all (single GPU, SURVEY.md
 §2.7); this module is the north-star "shard point streams by camera,
@@ -44,7 +51,8 @@ from ros_gpu_depthmap_fusion_tpu.ops.pallas.flying_pixels import (
 from ros_gpu_depthmap_fusion_tpu.ops.stencil import filter_point_sequence
 from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import crop_points, compact
 from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
-    scatter_occupancy, update_historic_occupancy, occupancy_to_u8)
+    occupancy_bitmap, scatter_occupancy, update_historic_occupancy,
+    occupancy_to_u8)
 from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
     voxelize_partial_sums, dequantize_cell_means)
 from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import compact_multi
@@ -61,21 +69,42 @@ class ShardedFrameOutputs(NamedTuple):
     raw_points: jnp.ndarray     # [n_stream * local_cap, 4] (by stream shard)
     raw_counts: jnp.ndarray     # [n_stream]
     occupancy_u8: jnp.ndarray   # [padded_cells] uint8 (space-concatenated)
+    # binarized occupancy packed 8 cells/byte PER SPACE BLOCK
+    # ([n_space * ceil(block/8)] u8) — the sharded mapping consumer's
+    # cheap d2h payload (each block padded to a byte boundary; host
+    # assembly in ShardedFusionEngine.segment_and_track)
+    occupancy_bits: jnp.ndarray
 
 
 def padded_num_cells(grid: VoxelGrid, n_space: int) -> int:
     return ((grid.num_cells + n_space - 1) // n_space) * n_space
 
 
+def _rb_caps(cfg: FusionConfig, n_stream: int):
+    """Per-shard rollbuffer capacities (the global capacity splits over
+    the stream axis — aggregation-window memory scales with it)."""
+    p_cap, s_cap = (cfg.rollbuffer_point_capacity,
+                    cfg.rollbuffer_seq_capacity)
+    assert p_cap % n_stream == 0 and s_cap % n_stream == 0, (
+        p_cap, s_cap, n_stream)
+    return p_cap // n_stream, s_cap // n_stream
+
+
 def sharded_initial_state(cfg: FusionConfig, grid: VoxelGrid,
                           mesh: Mesh) -> EngineState:
     """EngineState whose historic grid is padded to a multiple of the space
-    axis and sharded over it; rollbuffer replicated."""
+    axis and sharded over it; rollbuffer stream-sharded (each stream row
+    owns 1/n_stream of the point/sequence capacity; the scalar extents
+    become per-shard [n_stream] vectors)."""
     n_space = mesh.shape[SPACE_AXIS]
+    n_stream = mesh.shape[STREAM_AXIS]
     padded = padded_num_cells(grid, n_space)
+    rb = rbmod.make_rollbuffer(
+        cfg.rollbuffer_point_capacity, cfg.rollbuffer_seq_capacity)
+    rb = rb._replace(num_points=jnp.zeros((n_stream,), jnp.int32),
+                     num_seqs=jnp.zeros((n_stream,), jnp.int32))
     state = EngineState(
-        rollbuffer=rbmod.make_rollbuffer(
-            cfg.rollbuffer_point_capacity, cfg.rollbuffer_seq_capacity),
+        rollbuffer=rb,
         historic_occupancy=jnp.zeros((padded,), jnp.int32),
         frame_index=jnp.int32(0),
         prev_depth_q=jnp.zeros((1, 1, 1), jnp.uint16),
@@ -83,12 +112,24 @@ def sharded_initial_state(cfg: FusionConfig, grid: VoxelGrid,
     return jax.device_put(state, state_shardings(mesh))
 
 
+def _rb_specs():
+    """PartitionSpecs for the stream-sharded RollBuffer pytree (leading
+    dim of every array — point rows, sequence rows, per-shard extents —
+    splits over the stream axis)."""
+    return rbmod.RollBuffer(
+        points=P(STREAM_AXIS), mask=P(STREAM_AXIS), seq_idx=P(STREAM_AXIS),
+        seq_sec=P(STREAM_AXIS), seq_nsec=P(STREAM_AXIS),
+        seq_start=P(STREAM_AXIS), seq_count=P(STREAM_AXIS),
+        seq_tf_move=P(STREAM_AXIS),
+        num_points=P(STREAM_AXIS), num_seqs=P(STREAM_AXIS))
+
+
 def state_shardings(mesh: Mesh):
     rep = NamedSharding(mesh, P())
     return EngineState(
         rollbuffer=jax.tree.map(
-            lambda _: rep,
-            rbmod.make_rollbuffer(1, 1)),
+            lambda spec: NamedSharding(mesh, spec), _rb_specs(),
+            is_leaf=lambda x: isinstance(x, P)),
         historic_occupancy=NamedSharding(mesh, P(SPACE_AXIS)),
         frame_index=rep,
         prev_depth_q=rep,
@@ -138,7 +179,7 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
     c_local = c // n_stream
     h, w = cfg.depth_height, cfg.depth_width
     n_depth_local = c_local * h * w
-    sel_cap = cfg.rollbuffer_point_capacity
+    sel_cap, seq_cap_local = _rb_caps(cfg, n_stream)
     local_cap = n_depth_local + sel_cap
     padded = padded_num_cells(grid, n_space)
     block = padded // n_space
@@ -146,28 +187,52 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
         block_output_capacity = min(block, local_cap)
 
     def local_step(state: EngineState, inp: FrameInputs):
-        rb = state.rollbuffer
+        # local rollbuffer: per-shard extents arrive as [1] slices
+        rb = state.rollbuffer._replace(
+            num_points=state.rollbuffer.num_points[0],
+            num_seqs=state.rollbuffer.num_seqs[0])
         sb = inp.seq_batch
         stream_id = jax.lax.axis_index(STREAM_AXIS)
         space_id = jax.lax.axis_index(SPACE_AXIS)
 
-        # ---- rollbuffer maintenance: replicated computation ----
+        # ---- rollbuffer maintenance: STREAM-SHARDED. The staging batch
+        # is replicated; ownership is round-robin over staged sequences,
+        # rotated by frame so sparse frames still spread over shards.
+        # Each shard compacts its own sequences to the front of a local
+        # batch and inserts only those; selections are therefore disjoint
+        # across shards and join exactly at the voxel partial-sum psum.
         stage_idx = jnp.arange(sb.points.shape[0], dtype=jnp.int32)
         staged_mask = stage_idx < sb.num_points
         seq_mask = filter_point_sequence(
             sb.points, staged_mask, sb.num_points,
             cfg.point_sequence_filter_size, inp.ps_threshold)
+        s_stage = jnp.arange(sb.seq_sec.shape[0], dtype=jnp.int32)
+        own_seq = (((s_stage + state.frame_index) % n_stream == stream_id)
+                   & (s_stage < sb.num_seqs))
+        # compact owned sequence records to the front
+        (o_sec, o_nsec, o_cnt, o_tf), n_own = compact_multi(
+            (sb.seq_sec, sb.seq_nsec, sb.seq_count,
+             sb.seq_tf_move.reshape(-1, 16)), own_seq,
+            sb.seq_sec.shape[0])
+        # compact owned points (order within/across sequences preserved —
+        # the stable compaction keeps staging order, so points stay
+        # contiguous per sequence)
+        own_rank = jnp.cumsum(own_seq.astype(jnp.int32)) - 1
+        own_pt = own_seq[sb.seq_idx] & staged_mask
+        (o_pts, o_mask_f, o_idx_f), n_pts = compact_multi(
+            (sb.points, seq_mask.astype(jnp.float32),
+             own_rank[sb.seq_idx].astype(jnp.float32)), own_pt,
+            sb.points.shape[0])
         rb, _ = rbmod.insert_sequences(
-            rb, sb.points, seq_mask, sb.seq_idx, sb.seq_sec, sb.seq_nsec,
-            sb.seq_count, sb.seq_tf_move, sb.num_points, sb.num_seqs)
+            rb, o_pts, o_mask_f > 0.5, o_idx_f.astype(jnp.int32),
+            o_sec, o_nsec, o_cnt, o_tf.reshape(-1, 4, 4), n_pts, n_own)
         rb = rbmod.roll(rb, inp.roll_min_sec, inp.roll_min_nsec)
         sel = rbmod.select_timespan(
             rb, inp.roll_min_sec, inp.roll_min_nsec,
             inp.now_sec, inp.now_nsec)
         seq_world, seq_crop, seq_valid, _ = rbmod.gather_selection(
             rb, sel, inp.tf_world_move, inp.tf_crop_move, sel_cap)
-        # only the first stream row contributes lidar points to reductions
-        seq_valid_local = seq_valid & (stream_id == 0)
+        seq_valid_local = seq_valid
 
         # ---- local depth pipeline (own cameras only) ----
         if depth_bits is None:
@@ -259,7 +324,9 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
                 (pts,), occ_blk, block_output_capacity)
 
         new_state = EngineState(
-            rollbuffer=rb, historic_occupancy=historic,
+            rollbuffer=rb._replace(num_points=rb.num_points[None],
+                                   num_seqs=rb.num_seqs[None]),
+            historic_occupancy=historic,
             frame_index=state.frame_index + 1,
             prev_depth_q=state.prev_depth_q)
         out = ShardedFrameOutputs(
@@ -268,11 +335,12 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
             raw_points=raw_points,
             raw_counts=raw_count[None],
             occupancy_u8=occupancy_u8,
+            occupancy_bits=occupancy_bitmap(historic),
         )
         return new_state, out
 
     state_specs = EngineState(
-        rollbuffer=jax.tree.map(lambda _: P(), rbmod.make_rollbuffer(1, 1)),
+        rollbuffer=_rb_specs(),
         historic_occupancy=P(SPACE_AXIS),
         frame_index=P(),
         prev_depth_q=P(),
@@ -294,6 +362,7 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
         raw_points=P(STREAM_AXIS),
         raw_counts=P(STREAM_AXIS),
         occupancy_u8=P(SPACE_AXIS),
+        occupancy_bits=P(SPACE_AXIS),
     ))
 
     mapped = shard_map(local_step, mesh=mesh,

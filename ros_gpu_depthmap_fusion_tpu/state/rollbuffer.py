@@ -71,6 +71,43 @@ class RollBuffer(NamedTuple):
         return self.seq_sec.shape[0]
 
 
+def _shift_rows(x: jnp.ndarray, shift, fill_value=0) -> jnp.ndarray:
+    """``x[i] = x[i + shift]`` with ``fill_value`` beyond the end —
+    the gather-free form of ``jnp.take(x, iota + shift, mode="fill")``.
+    On TPU a take with contiguous iota+scalar indices lowers to a general
+    gather (~60 ms/M rows via the scatter/gather engine, CLAUDE.md); a
+    pad + ``dynamic_slice`` is a contiguous copy. ``shift`` must be in
+    [0, len(x)]."""
+    pad_shape = (x.shape[0],) + x.shape[1:]
+    if fill_value is False:
+        pad = jnp.zeros(pad_shape, x.dtype)
+    else:
+        pad = jnp.full(pad_shape, fill_value, x.dtype)
+    ext = jnp.concatenate([x, pad], axis=0)
+    return jax.lax.dynamic_slice_in_dim(
+        ext, jnp.clip(shift, 0, x.shape[0]), x.shape[0], axis=0)
+
+
+def _write_block(x: jnp.ndarray, block: jnp.ndarray, offset,
+                 n_live) -> jnp.ndarray:
+    """Write ``block[:n_live]`` into ``x`` at row ``offset`` (rows past
+    ``n_live`` keep x's values; writes past the end are dropped) — the
+    dynamic-slice form of ``x.at[offset + iota].set(block, mode="drop")``
+    for a CONTIGUOUS destination window."""
+    cap = x.shape[0]
+    m = block.shape[0]
+    off = jnp.clip(offset, 0, cap)
+    ext = jnp.concatenate(
+        [x, jnp.zeros((m,) + x.shape[1:], x.dtype)], axis=0)
+    cur = jax.lax.dynamic_slice_in_dim(ext, off, m, axis=0)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    live = iota < n_live
+    merged = jnp.where(live.reshape((m,) + (1,) * (x.ndim - 1)),
+                       block.astype(x.dtype), cur)
+    ext = jax.lax.dynamic_update_slice_in_dim(ext, merged, off, axis=0)
+    return ext[:cap]
+
+
 def make_rollbuffer(point_capacity: int, seq_capacity: int) -> RollBuffer:
     return RollBuffer(
         points=jnp.zeros((point_capacity, 4), jnp.float32),
@@ -126,11 +163,12 @@ def insert_sequences(rb: RollBuffer,
     fit_points = jnp.sum(jnp.where(s_idx < fit_seqs, new_seq_count, 0))
     overflow = (fit_seqs < num_new_seqs) | (fit_points_by_seq > fit_points)
 
-    # scatter new points at offset num_points
-    tgt = jnp.where(n_idx < fit_points, rb.num_points + n_idx, p_cap)
-    points = rb.points.at[tgt].set(new_points, mode="drop")
-    mask = rb.mask.at[tgt].set(new_mask, mode="drop")
-    seq_idx = rb.seq_idx.at[tgt].set(new_seq_idx + rb.num_seqs, mode="drop")
+    # write new points at offset num_points (contiguous destination —
+    # dynamic-slice form, not a scatter)
+    points = _write_block(rb.points, new_points, rb.num_points, fit_points)
+    mask = _write_block(rb.mask, new_mask, rb.num_points, fit_points)
+    seq_idx = _write_block(rb.seq_idx, new_seq_idx + rb.num_seqs,
+                           rb.num_points, fit_points)
 
     # enforce the monotone-time invariant: clamp each appended timestamp to
     # be >= the buffer's current latest (reference relies on arrival order)
@@ -176,20 +214,15 @@ def roll(rb: RollBuffer, min_sec, min_nsec) -> RollBuffer:
     n_disc_pts = jnp.sum(jnp.where(expired, rb.seq_count, 0))
 
     p_idx = jnp.arange(p_cap, dtype=jnp.int32)
-    src_p = p_idx + n_disc_pts
-    points = jnp.take(rb.points, src_p, axis=0, mode="fill", fill_value=0)
-    mask = jnp.take(rb.mask, src_p, mode="fill", fill_value=False)
-    seq_idx = jnp.take(rb.seq_idx, src_p, mode="fill",
-                       fill_value=0) - n_disc_seqs
+    points = _shift_rows(rb.points, n_disc_pts)
+    mask = _shift_rows(rb.mask, n_disc_pts, fill_value=False)
+    seq_idx = _shift_rows(rb.seq_idx, n_disc_pts) - n_disc_seqs
 
-    src_s = s_idx + n_disc_seqs
-    seq_sec = jnp.take(rb.seq_sec, src_s, mode="fill", fill_value=0)
-    seq_nsec = jnp.take(rb.seq_nsec, src_s, mode="fill", fill_value=0)
-    seq_start = jnp.take(rb.seq_start, src_s, mode="fill",
-                         fill_value=0) - n_disc_pts
-    seq_count = jnp.take(rb.seq_count, src_s, mode="fill", fill_value=0)
-    seq_tf_move = jnp.take(rb.seq_tf_move, src_s, axis=0, mode="fill",
-                           fill_value=0)
+    seq_sec = _shift_rows(rb.seq_sec, n_disc_seqs)
+    seq_nsec = _shift_rows(rb.seq_nsec, n_disc_seqs)
+    seq_start = _shift_rows(rb.seq_start, n_disc_seqs) - n_disc_pts
+    seq_count = _shift_rows(rb.seq_count, n_disc_seqs)
+    seq_tf_move = _shift_rows(rb.seq_tf_move, n_disc_seqs)
 
     num_points = rb.num_points - n_disc_pts
     num_seqs = rb.num_seqs - n_disc_seqs
@@ -249,12 +282,14 @@ def gather_selection(rb: RollBuffer,
 
     Returns (points_world ``[capacity, 4]``, points_crop, mask, count).
     """
+    assert capacity <= rb.point_capacity, (capacity, rb.point_capacity)
     p_idx = jnp.arange(capacity, dtype=jnp.int32)
-    src = p_idx + sel.point_start
     live = p_idx < sel.point_count
-    pts = jnp.take(rb.points, src, axis=0, mode="fill", fill_value=0)
-    msk = jnp.take(rb.mask, src, mode="fill", fill_value=False) & live
-    tf_idx = jnp.take(rb.seq_idx, src, mode="fill", fill_value=0)
+    # contiguous selection window -> dynamic slices, not gathers
+    pts = _shift_rows(rb.points, sel.point_start)[:capacity]
+    msk = _shift_rows(rb.mask, sel.point_start,
+                      fill_value=False)[:capacity] & live
+    tf_idx = _shift_rows(rb.seq_idx, sel.point_start)[:capacity]
     tf_idx = jnp.clip(tf_idx - sel.seq_start, 0, rb.seq_capacity - 1)
 
     tfs_world = transforms.compose_seq_transforms(

@@ -120,7 +120,7 @@ def test_sharded_matches_single_chip():
     ref_raw = np.asarray(single_outs[-1].raw_points)[
         : int(single_outs[-1].raw_count)]
     local_cap = (cfg.depth_pixels_per_stream * 1
-                 + cfg.rollbuffer_point_capacity)
+                 + cfg.rollbuffer_point_capacity // 4)
     raw = np.asarray(out.raw_points).reshape(4, local_cap, 4)
     counts = np.asarray(out.raw_counts)
     got_raw = np.concatenate([raw[i, : counts[i]] for i in range(4)])
