@@ -28,6 +28,9 @@ def main():
                          "against the previous frame — real slow-moving "
                          "camera streams code 1-2 bits narrower)")
     ap.add_argument("--codec-quant-shift", type=int, default=0)
+    ap.add_argument("--loop-close", action="store_true",
+                    help="detect loop closures + pose-graph optimize "
+                         "after the run (slam/loop_closure.py)")
     ap.add_argument("--hard", action="store_true",
                     help="render the HARD synthetic benchmark sequence "
                          "(640x480, 150 frames, aggressive orbit with "
@@ -57,7 +60,8 @@ def main():
     res = run_tum_sequence(root, pose_source=args.pose_source,
                            max_frames=args.max_frames,
                            ba_every=args.ba_every, codec=args.codec,
-                           codec_quant_shift=args.codec_quant_shift)
+                           codec_quant_shift=args.codec_quant_shift,
+                           loop_close=args.loop_close)
     print(f"frames processed:   {res.frames}")
     print(f"keyframes:          {res.keyframes}")
     print(f"occupied cells:     {res.occupied_cells}")
@@ -66,6 +70,11 @@ def main():
         print(f"depth link: {res.codec_p_frames} P / "
               f"{res.codec_i_frames} I frames, "
               f"{res.codec_mean_bytes / 1e3:.1f} KB/frame mean")
+    if res.loop_edges or res.ate_rmse_loop_closed_m is not None:
+        lc = res.ate_rmse_loop_closed_m
+        print(f"loop closures:      {res.loop_edges} edges"
+              + (f", keyframe ATE {lc*100:.2f} cm" if lc is not None
+                 else ""))
     if res.ate_rmse_m is not None:
         print(f"ATE RMSE:           {res.ate_rmse_m*100:.2f} cm")
         if res.ate_rmse_m > 0.05:

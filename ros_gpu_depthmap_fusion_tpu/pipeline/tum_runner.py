@@ -47,6 +47,10 @@ class TumRunResult:
     codec_p_frames: int = 0
     codec_i_frames: int = 0
     codec_mean_bytes: float = 0.0
+    # loop closure (loop_close=True): accepted edges and the KEYFRAME
+    # ATE after pose-graph optimization (slam/loop_closure.py)
+    loop_edges: int = 0
+    ate_rmse_loop_closed_m: Optional[float] = None
 
 
 def run_tum_sequence(root: str,
@@ -56,7 +60,8 @@ def run_tum_sequence(root: str,
                      ba_every: int = 8,
                      intensity_from_depth: bool = True,
                      codec: str = "dpcm",
-                     codec_quant_shift: int = 0) -> TumRunResult:
+                     codec_quant_shift: int = 0,
+                     loop_close: bool = False) -> TumRunResult:
     ds = TumRgbdDataset(root)
     intr = ds.intrinsics
     if cfg is None:
@@ -135,6 +140,21 @@ def run_tum_sequence(root: str,
         est_arr = np.stack([e for e, _ in paired])
         gt_arr = np.stack([g for _, g in paired])
         ate = ate_rmse(est_arr, gt_arr)
+    n_loop_edges = 0
+    ate_lc = None
+    if loop_close and pose_source == "slam" and len(odo.keyframes) >= 3:
+        from ros_gpu_depthmap_fusion_tpu.slam.loop_closure import (
+            close_loops)
+        gt_by_stamp = {frame.stamp: frame.tf_world_cam[:3, 3]
+                       for frame in TumRgbdDataset(root)
+                       if frame.tf_world_cam is not None}
+        n_loop_edges, _ = close_loops(odo)
+        kf_est = [kf.pose[:3, 3] for kf in odo.keyframes
+                  if kf.stamp in gt_by_stamp]
+        kf_gt = [gt_by_stamp[kf.stamp] for kf in odo.keyframes
+                 if kf.stamp in gt_by_stamp]
+        if len(kf_est) >= 3:
+            ate_lc = ate_rmse(np.stack(kf_est), np.stack(kf_gt))
     occ = int((np.asarray(out.occupancy_u8) > 0).sum()) if out else 0
     return TumRunResult(
         frames=n, ate_rmse_m=ate,
@@ -146,7 +166,8 @@ def run_tum_sequence(root: str,
         keyframes=len(odo.keyframes),
         codec_p_frames=p_frames, codec_i_frames=i_frames,
         codec_mean_bytes=float(np.mean(codec_bytes)) if codec_bytes
-        else 0.0)
+        else 0.0,
+        loop_edges=n_loop_edges, ate_rmse_loop_closed_m=ate_lc)
 
 
 def _write_intrinsics(root: str, intr) -> None:

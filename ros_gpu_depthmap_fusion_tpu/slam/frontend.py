@@ -70,6 +70,11 @@ class RgbdOdometry:
         self.landmarks = {}         # id -> world position [3]
         self.observations = []      # (kf_index, landmark_id, p_cam [3])
         self.pose = np.eye(4, dtype=np.float32)
+        # fault-injection hook for drift-robustness tests: when set, each
+        # accepted relative pose passes through it before composition
+        # (tests/test_slam.py injects systematic drift and checks loop
+        # closure recovers it — slam/loop_closure.py)
+        self.rel_hook = None
 
     # ------------------------------------------------------------------
     def _extract(self, intensity: np.ndarray, depth_m: np.ndarray):
@@ -139,6 +144,8 @@ class RgbdOdometry:
                                   num_inliers, rmse, True)
 
         rel = np.asarray(res.transform)    # kf_cam <- cur_cam
+        if self.rel_hook is not None:
+            rel = np.asarray(self.rel_hook(rel), np.float32)
         self.pose = (kf.pose @ rel).astype(np.float32)
         self.trajectory.append((stamp, self.pose.copy()))
 

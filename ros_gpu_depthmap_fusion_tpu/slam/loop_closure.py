@@ -1,0 +1,239 @@
+"""Keyframe place recognition + loop-closure edges for the pose graph.
+
+The reference has no SLAM at all; this completes the north-star pose-graph
+story (SURVEY.md §6): :mod:`.pose_graph` is the optimizer, this module is
+the EDGE PRODUCER. Three tiers:
+
+1. candidate retrieval: each keyframe keeps a POOL of its strongest BRIEF
+   descriptors; a query scores every non-adjacent keyframe by the mean
+   over its pool of the min Hamming distance into the other pool (a
+   sampled descriptor-pool match — discriminative where a global
+   majority-bit signature washes out).
+2. geometric verification: full mutual/ratio descriptor matching
+   (:func:`..slam.features.match`) + RANSAC Kabsch on the matched
+   camera-frame 3-D points (:func:`..slam.pose_estimation.ransac_pose`).
+   Accepted only with >= ``min_inliers`` inliers, RMSE below threshold,
+   and — repetitive-structure guard — a bounded CORRECTION: the measured
+   transform may disagree with the current (drifting) pose estimates by
+   at most ``max_correction_t``/``max_correction_r``; two different-but-
+   similar walls produce metres of disagreement, real drift produces
+   centimetres.
+3. robust optimization (:func:`close_loops`): odometry chain + loop
+   edges, one Gauss-Newton round, then loop edges whose residual stays
+   large are dropped as outliers and the graph re-optimizes (a one-shot
+   switchable-constraint pass).
+
+The measured relative transform is the pose-graph edge
+``Z_ij ~ T_i^{-1} T_j`` (camera-frame points of j mapped onto i).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_gpu_depthmap_fusion_tpu.slam import features as feat
+from ros_gpu_depthmap_fusion_tpu.slam.lie import se3_inv, se3_log
+from ros_gpu_depthmap_fusion_tpu.slam.pose_estimation import ransac_pose
+from ros_gpu_depthmap_fusion_tpu.slam.pose_graph import PoseGraph, optimize
+
+POOL = 64   # sampled descriptors per keyframe for retrieval
+
+
+def keyframe_pool(kps: feat.Keypoints) -> np.ndarray:
+    """``[POOL, 8]`` u32 descriptor sample: the strongest valid
+    keypoints' BRIEF descriptors (wrapped if fewer than POOL)."""
+    desc = np.asarray(kps.desc)
+    score = np.asarray(kps.score) * np.asarray(kps.valid)
+    order = np.argsort(-score)
+    good = order[np.asarray(kps.valid)[order]][:POOL]
+    if len(good) == 0:
+        return np.zeros((POOL, 8), np.uint32)
+    reps = -(-POOL // len(good))
+    return np.tile(desc[good], (reps, 1))[:POOL]
+
+
+def _popcount8(x: np.ndarray) -> np.ndarray:
+    """Popcount over the last (u32 x 8) axis."""
+    return np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8), axis=-1).sum(-1)
+
+
+def pool_scores(query: np.ndarray, pools: np.ndarray) -> np.ndarray:
+    """Mean-of-min Hamming from ``query [POOL, 8]`` into each of
+    ``pools [N, POOL, 8]`` -> ``[N]`` (lower = more similar)."""
+    n = pools.shape[0]
+    x = np.bitwise_xor(query[:, None, None, :], pools[None])  # [P,N,P,8]
+    d = _popcount8(x)                                         # [P,N,P]
+    return d.min(axis=2).mean(axis=0)
+
+
+@dataclasses.dataclass
+class LoopEdge:
+    i: int                 # earlier keyframe
+    j: int                 # later keyframe
+    z: np.ndarray          # measured T_i^-1 T_j (cam_i <- cam_j)
+    num_inliers: int
+    rmse: float
+
+
+class LoopCloser:
+    """Detects loop-closure edges between non-adjacent keyframes."""
+
+    def __init__(self, min_gap: int = 10, max_candidates: int = 3,
+                 max_pool_score: float = 75.0,
+                 min_inliers: int = 25, max_rmse: float = 0.08,
+                 max_correction_t: float = 1.5,
+                 max_correction_r: float = 0.8,
+                 ransac_iterations: int = 128,
+                 inlier_threshold: float = 0.06, seed: int = 17):
+        self.min_gap = min_gap
+        self.max_candidates = max_candidates
+        self.max_pool_score = max_pool_score
+        self.min_inliers = min_inliers
+        self.max_rmse = max_rmse
+        self.max_corr_t = max_correction_t
+        self.max_corr_r = max_correction_r
+        self.ransac_iterations = ransac_iterations
+        self.inlier_threshold = inlier_threshold
+        self._key = jax.random.PRNGKey(seed)
+        self._pools: List[np.ndarray] = []
+        self.edges: List[LoopEdge] = []
+
+    def _verify(self, odo, i: int, j: int) -> Optional[LoopEdge]:
+        kf_i, kf_j = odo.keyframes[i], odo.keyframes[j]
+        matches = feat.match(kf_i.kps, kf_j.kps)
+        idx_a = np.asarray(matches.idx_a)
+        idx_b = np.asarray(matches.idx_b)
+        mvalid = (np.asarray(matches.valid)
+                  & kf_i.has_depth[idx_a] & kf_j.has_depth[idx_b])
+        if int(mvalid.sum()) < self.min_inliers:
+            return None
+        src = kf_j.pts_cam[idx_b]
+        dst = kf_i.pts_cam[idx_a]
+        self._key, sub = jax.random.split(self._key)
+        res = ransac_pose(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(mvalid), sub,
+                          iterations=self.ransac_iterations,
+                          inlier_threshold=self.inlier_threshold)
+        ni, rmse = int(res.num_inliers), float(res.rmse)
+        if ni < self.min_inliers or rmse > self.max_rmse:
+            return None
+        z = np.asarray(res.transform)
+        # bounded-correction gate: the edge may disagree with the current
+        # pose estimates only by plausible accumulated drift — aliased
+        # matches between similar structures disagree by metres/radians
+        err = np.asarray(se3_log(jnp.asarray(
+            np.linalg.inv(z) @ np.linalg.inv(kf_i.pose) @ kf_j.pose)))
+        if (np.linalg.norm(err[:3]) > self.max_corr_t
+                or np.linalg.norm(err[3:]) > self.max_corr_r):
+            return None
+        return LoopEdge(i=i, j=j, z=z, num_inliers=ni, rmse=rmse)
+
+    def observe(self, odo, kf_index: Optional[int] = None
+                ) -> List[LoopEdge]:
+        """Ingest keyframes up to ``kf_index`` (default: all) and return
+        NEW loop edges found for the latest ones. Call after every
+        odometry keyframe (online) or once at the end (batch via
+        :func:`close_loops`)."""
+        n = len(odo.keyframes) if kf_index is None else kf_index + 1
+        new_edges: List[LoopEdge] = []
+        while len(self._pools) < n:
+            j = len(self._pools)
+            pool = keyframe_pool(odo.keyframes[j].kps)
+            if j >= self.min_gap:
+                past = np.stack(self._pools[: j - self.min_gap + 1])
+                score = pool_scores(pool, past)
+                order = np.argsort(score)[: self.max_candidates]
+                for i in order:
+                    if score[i] > self.max_pool_score:
+                        break
+                    edge = self._verify(odo, int(i), j)
+                    if edge is not None:
+                        new_edges.append(edge)
+                        self.edges.append(edge)
+            self._pools.append(pool)
+        return new_edges
+
+
+def _edge_residual_norms(poses: np.ndarray, e: LoopEdge):
+    err = np.asarray(se3_log(jnp.asarray(
+        np.linalg.inv(e.z) @ np.linalg.inv(poses[e.i]) @ poses[e.j])))
+    return float(np.linalg.norm(err[:3])), float(np.linalg.norm(err[3:]))
+
+
+def close_loops(odo, closer: Optional[LoopCloser] = None,
+                iterations: int = 12,
+                loop_weight: float = 1.0,
+                odom_weight: float = 1.0,
+                outlier_t: float = 0.5,
+                outlier_r: float = 0.3) -> Tuple[int, float]:
+    """Detect closures over all keyframes, optimize the pose graph and
+    write corrected keyframe poses (and re-anchored landmarks) back.
+
+    After the first optimization round, loop edges whose residual REMAINS
+    above (``outlier_t``, ``outlier_r``) are dropped as aliased matches
+    and the graph re-optimizes without them (consistent edges converge to
+    ~zero residual; an aliased edge cannot).
+
+    Returns (num_loop_edges_kept, final chi2).
+    """
+    closer = closer or LoopCloser()
+    closer.observe(odo)
+    n = len(odo.keyframes)
+    if n < 2:
+        return 0, 0.0
+    poses0 = np.stack([kf.pose for kf in odo.keyframes]).astype(np.float32)
+
+    def solve(edges):
+        ei = list(range(n - 1))
+        ej = list(range(1, n))
+        ez = [np.linalg.inv(poses0[i]) @ poses0[i + 1]
+              for i in range(n - 1)]
+        ew = [odom_weight] * (n - 1)
+        for e in edges:
+            ei.append(e.i)
+            ej.append(e.j)
+            ez.append(e.z)
+            ew.append(loop_weight)
+        graph = PoseGraph(
+            poses=jnp.asarray(poses0),
+            edge_i=jnp.asarray(np.asarray(ei, np.int32)),
+            edge_j=jnp.asarray(np.asarray(ej, np.int32)),
+            edge_z=jnp.asarray(np.stack(ez).astype(np.float32)),
+            edge_weight=jnp.asarray(np.asarray(ew, np.float32)))
+        solved, chi2 = optimize(graph, iterations=iterations)
+        return np.asarray(solved.poses), float(np.asarray(chi2)[-1])
+
+    edges = list(closer.edges)
+    if not edges:
+        return 0, 0.0
+    new_poses, chi2 = solve(edges)
+    kept = [e for e in edges
+            if (lambda tr: tr[0] <= outlier_t and tr[1] <= outlier_r)(
+                _edge_residual_norms(new_poses, e))]
+    if len(kept) != len(edges):
+        if not kept:
+            return 0, 0.0
+        new_poses, chi2 = solve(kept)
+
+    # landmark re-anchoring: move each landmark with its FIRST observing
+    # keyframe's correction  p' = T_new T_old^-1 p
+    first_obs = {}
+    for k, lm, _ in odo.observations:
+        if lm not in first_obs:
+            first_obs[lm] = k
+    for lm, k in first_obs.items():
+        if lm in odo.landmarks:
+            corr = new_poses[k] @ np.linalg.inv(poses0[k])
+            p = odo.landmarks[lm]
+            odo.landmarks[lm] = (corr[:3, :3] @ p + corr[:3, 3]).astype(
+                np.float32)
+    for k, kf in enumerate(odo.keyframes):
+        kf.pose = new_poses[k].astype(np.float32)
+    odo.pose = odo.keyframes[-1].pose.copy()
+    return len(kept), chi2

@@ -298,3 +298,53 @@ def test_odometry_synthetic_trajectory():
         # only compare if enough keyframes spawned
         if len(est2) >= 3:
             assert ate_rmse(est2, gt_kf[: len(est2)]) < 0.1
+
+
+def test_loop_closure_recovers_injected_drift(tmp_path):
+    """Pose-graph closure evidence (VERDICT r3 item 7): on the 360-deg
+    loop-closing hard synthetic with SYSTEMATIC odometry drift injected
+    (per-frame yaw/translation bias through the fault hook), detected
+    loop closures + pose-graph optimization must beat the odometry-only
+    keyframe ATE by >= 2x."""
+    from ros_gpu_depthmap_fusion_tpu.core import transforms
+    from ros_gpu_depthmap_fusion_tpu.pipeline.datasets import TumRgbdDataset
+    from ros_gpu_depthmap_fusion_tpu.pipeline.tum_runner import (
+        write_hard_synthetic_tum_sequence)
+    from ros_gpu_depthmap_fusion_tpu.slam.ate import ate_rmse
+    from ros_gpu_depthmap_fusion_tpu.slam.frontend import RgbdOdometry
+    from ros_gpu_depthmap_fusion_tpu.slam.loop_closure import (
+        LoopCloser, close_loops)
+
+    root = str(tmp_path / "loop")
+    write_hard_synthetic_tum_sequence(root, n_frames=80, width=320,
+                                      height=240, orbit_frames=80)
+    ds = TumRgbdDataset(root)
+    odo = RgbdOdometry(ds.intrinsics, max_keypoints=512, min_inliers=12,
+                       inlier_threshold=0.08)
+    drift = transforms.make_se3(transforms.rot_z(0.006),
+                                np.array([0.004, 0.0, 0.0]))
+    odo.rel_hook = lambda rel: rel @ drift
+    gt_by_stamp = {}
+    for frame in ds:
+        depth_m = frame.depth_u16.astype(np.float32) * frame.depth_scale
+        inten = (frame.intensity if frame.intensity is not None
+                 else np.clip(depth_m * 40.0, 0, 255).astype(np.float32))
+        odo.process(frame.stamp, inten, depth_m)
+        if frame.tf_world_cam is not None:
+            gt_by_stamp[frame.stamp] = frame.tf_world_cam[:3, 3]
+
+    def kf_ate():
+        est, gt = [], []
+        for kf in odo.keyframes:
+            if kf.stamp in gt_by_stamp:
+                est.append(kf.pose[:3, 3])
+                gt.append(gt_by_stamp[kf.stamp])
+        return ate_rmse(np.stack(est), np.stack(gt))
+
+    ate_before = kf_ate()
+    n_loops, _ = close_loops(odo, LoopCloser(min_gap=8))
+    ate_after = kf_ate()
+    assert n_loops >= 1, "no loop closures detected on the closing orbit"
+    assert ate_after < ate_before / 2, (
+        f"closure gain too small: {ate_before * 100:.2f} cm -> "
+        f"{ate_after * 100:.2f} cm with {n_loops} closures")
