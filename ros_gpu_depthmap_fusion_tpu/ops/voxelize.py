@@ -259,11 +259,13 @@ def voxelize_average_rle(points: jnp.ndarray,
     should raise the capacity (or fall back to ``packed``). The engine
     surfaces it as ``FrameOutputs.vox_partials_count``.
 
-    Bit-exactness vs ``packed``: holds while every per-cell accumulated
-    sum stays an exact f32 integer, i.e. below 2^24 — per-cell member
-    counts up to ~2048 (the z sum is bounded by 8191*count). Beyond that
-    the accumulation orders may round differently; the mean error is
-    negligible but not bitwise zero.
+    Bit-exactness vs ``packed``: level-1 partial sums are ALWAYS exact
+    (force_break=128 bounds each run to 128 members), so the bound sits
+    at the level-2 per-cell totals: exact while z-sum <= 4095 * members
+    stays below 2^24, i.e. ~4096 members/cell (pinned by
+    tests/test_ops_voxel.py::test_voxelize_dense_cell_exactness_bound —
+    a 3000-member cell is bit-identical, a 12000-member cell agrees to
+    float precision).
 
     ``extra_*``: additional point rows WITHOUT raster coherence (the
     engine's rollbuffer/lidar selection). They skip the level-1 raster

@@ -162,3 +162,52 @@ def test_fused_historic_update_matches_two_pass():
     target = jnp.where(live, cells, jnp.int32(num_cells))
     got = aged.at[target].max(jnp.int32(lifetime), mode="drop")
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_voxelize_dense_cell_exactness_bound():
+    """Pin the f32 exactness bound at DENSE cells (VERDICT r3 item 4).
+    With force_break=128 the level-1 partial sums are always exact (run
+    sums bounded by 128 members); per-cell exactness is then set by the
+    LEVEL-2 total: z-sum <= 4095 * members must stay below 2^24, i.e.
+    ~4096 members/cell. A 3000-member cell must be BIT-IDENTICAL to the
+    packed path; far beyond the bound (12000 members) the mean must still
+    agree to float precision (both paths round, order-dependently)."""
+    import jax.numpy as jnp
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.grid import VoxelGrid
+    from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
+        voxelize_average_packed, voxelize_average_rle)
+    cfg = FusionConfig(voxel_min=(-2, -2, 0), voxel_max=(2, 2, 1),
+                       voxel_size=(0.5, 0.5, 0.5))
+    grid = VoxelGrid.from_config(cfg)
+    rng = np.random.default_rng(3)
+
+    def run(members):
+        # every point inside ONE cell (plus background points around)
+        pts_in = np.concatenate([
+            rng.uniform(0.0, 0.5, (members, 2)),
+            rng.uniform(0.5, 1.0, (members, 1)),
+            np.ones((members, 1))], axis=1).astype(np.float32)
+        pts_bg = np.concatenate([
+            rng.uniform(-2, 0, (500, 2)),
+            rng.uniform(0, 0.5, (500, 1)),
+            np.ones((500, 1))], axis=1).astype(np.float32)
+        pts = jnp.asarray(np.concatenate([pts_in, pts_bg]))
+        mask = jnp.ones(len(pts), bool)
+        ids = grid.cell_index_clamped(pts[:, :3])
+        p = voxelize_average_packed(pts, ids, mask, grid, 256,
+                                    return_occupancy=True)
+        r = voxelize_average_rle(pts, ids, mask, grid, 256,
+                                 return_occupancy=True, interpret=True)
+        return p, r
+
+    p, r = run(3000)
+    assert int(p[1]) == int(r[1])
+    np.testing.assert_array_equal(np.asarray(p[0]), np.asarray(r[0]))
+    np.testing.assert_array_equal(np.asarray(p[2]), np.asarray(r[2]))
+
+    p, r = run(12000)   # beyond the ~4096-member exactness bound
+    assert int(p[1]) == int(r[1])
+    np.testing.assert_array_equal(np.asarray(p[2]), np.asarray(r[2]))
+    np.testing.assert_allclose(np.asarray(p[0]), np.asarray(r[0]),
+                               atol=1e-4)
