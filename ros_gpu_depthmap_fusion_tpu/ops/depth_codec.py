@@ -99,14 +99,19 @@ def _extract_codes(words: jnp.ndarray, width: int, bits: int):
     """Per-pixel ``bits``-wide codes from the packed word stream."""
     c, h, wpr = words.shape
     if 32 % bits == 0:
-        # aligned fast path (B in {2, 4, 8} of B_BUCKETS): every field lives inside
-        # one word, so one shift+mask per pixel recovers it — 1/32 the
-        # intermediate volume of the generic bit-explode below
+        # aligned fast path (B in {2, 4, 8} of B_BUCKETS): every field
+        # lives inside one word — one shift+mask per pixel. The shifted
+        # PLANES are built in [c, h*wpr] layout (large minor dim, full
+        # 128-lane vreg utilization) and interleaved by one stack+reshape;
+        # shifting in a [.., wpr, ppw] shape instead leaves a ppw-wide
+        # minor dim at 1/8 lane utilization (4.6 -> 2.7 ms measured,
+        # benchmarks/r4_extract_probe.py)
         ppw = 32 // bits
-        fields32 = (words[..., None]
-                    >> (jnp.arange(ppw, dtype=jnp.uint32)
-                        * jnp.uint32(bits))) & jnp.uint32((1 << bits) - 1)
-        return fields32.reshape(c, h, wpr * ppw)[..., :width] \
+        flat = words.reshape(c, h * wpr)
+        planes = jnp.stack(
+            [(flat >> jnp.uint32(k * bits)) & jnp.uint32((1 << bits) - 1)
+             for k in range(ppw)], axis=-1)       # [c, h*wpr, ppw]
+        return planes.reshape(c, h, wpr * ppw)[..., :width] \
             .astype(jnp.int32)
     # gather-free bit unpack: explode words to a bit tensor (pure
     # shifts + reshapes, so XLA lowers to fused vector ops), then
@@ -118,6 +123,26 @@ def _extract_codes(words: jnp.ndarray, width: int, bits: int):
     weights = jnp.asarray(1 << np.arange(bits, dtype=np.int64),
                           jnp.int32)
     return jnp.sum(fields * weights, axis=-1)
+
+
+def _row_cumsum(delta: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the row axis. On TPU the XLA cumsum
+    lowering costs ~3.4 ms at [3840, 848] (benchmarks/r4_decode_probe.py)
+    while one MXU matmul against an upper-triangular ones matrix does the
+    same sums in ~0.1 ms — EXACTLY: HIGHEST-precision f32 splits each
+    exact-integer operand into bf16 limbs losslessly (|delta| <= 2^17)
+    and the f32 accumulation of a row's <= W terms stays below 2^24."""
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        return jnp.cumsum(delta, axis=-1)
+    w = delta.shape[-1]
+    tri = jnp.triu(jnp.ones((w, w), jnp.float32))   # U[i, j] = 1, i <= j
+    flat = delta.astype(jnp.float32).reshape(-1, w)
+    out = jax.lax.dot_general(
+        flat, tri, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return out.reshape(delta.shape).astype(jnp.int32)
 
 
 def decode_depth(enc: EncodedDepth, height: int, width: int,
@@ -134,8 +159,8 @@ def decode_depth(enc: EncodedDepth, height: int, width: int,
     zz, is_hole = _extract_zz(enc, width, bits)
     # zigzag undo -> row prefix sum -> add row base -> zero the holes
     delta = (zz >> 1) ^ -(zz & 1)
-    series = enc.row_first.astype(jnp.int32)[..., None] + jnp.cumsum(
-        delta, axis=-1)
+    series = enc.row_first.astype(jnp.int32)[..., None] + _row_cumsum(
+        delta)
     series = jnp.where(is_hole, 0, series)
     depth = series << quant_shift if quant_shift else series
     if return_series:

@@ -60,10 +60,13 @@ from ros_gpu_depthmap_fusion_tpu.ops.pallas.compact import (
     BN, DP, SLAB, _emit_slabs, _prefix_incl)
 
 
-def _kernel(planes_ref, out_ref, cnt_ref,
-            residue, slab_scr, run_carry, carry, sems, *,
-            n_blocks, cap_pad, sentinel, bn, force_break):
-    b = pl.program_id(0)
+def rle_body(keys, vals, b, out_ref, cnt_ref,
+             residue, slab_scr, run_carry, carry, sems, *,
+             n_blocks, cap_pad, sentinel, bn, force_break):
+    """One grid step of the run-length reduction over an in-register
+    ``keys [1, bn]`` / ``vals [DP-1, bn]`` block (shared by the plain
+    stream kernel below and the fused unproject kernel, which computes
+    keys/vals from depth in-register before reducing)."""
     sent = jnp.float32(sentinel)
 
     @pl.when(b == 0)
@@ -77,10 +80,6 @@ def _kernel(planes_ref, out_ref, cnt_ref,
 
     res = carry[0]
     base_slabs = carry[1]
-
-    planes = planes_ref[0]              # [DP, bn]: row 0 keys, 1.. vals
-    keys = planes[0:1]                  # [1, bn] f32
-    vals = planes[1:]                   # [DP-1, bn]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
     lane_f = lane.astype(jnp.float32)
 
@@ -173,6 +172,16 @@ def _kernel(planes_ref, out_ref, cnt_ref,
     @pl.when(is_last)
     def _fin():
         cnt_ref[0, 0] = base_slabs * SLAB + total
+
+
+def _kernel(planes_ref, out_ref, cnt_ref,
+            residue, slab_scr, run_carry, carry, sems, *,
+            n_blocks, cap_pad, sentinel, bn, force_break):
+    planes = planes_ref[0]              # [DP, bn]: row 0 keys, 1.. vals
+    rle_body(planes[0:1], planes[1:], pl.program_id(0), out_ref, cnt_ref,
+             residue, slab_scr, run_carry, carry, sems,
+             n_blocks=n_blocks, cap_pad=cap_pad, sentinel=sentinel,
+             bn=bn, force_break=force_break)
 
 
 @functools.partial(jax.jit,
