@@ -121,10 +121,15 @@ def main():
         depth_codec_quant_shift=3,
         depth_codec_max_exceptions=12288,
         lidar_link_quant_step=0.002,
-        # the moving scene's worst frame produces ~443k level-1 runs
+        # the moving scene's worst frame produces ~457k level-1 runs
         # (stderr prints the true count vs this cap every run; the
         # partials sort is size-flat in this range, measured r3_probe2)
         voxelize_partials_capacity=512 * 1024,
+        # emitted-cell cap sized to the measured steady state (~7.2k
+        # cells touched/frame on this scene, 9x headroom; stderr prints
+        # fused_count vs this every run) — the occupancy scatter-max and
+        # output compaction scale with the CAP, not the live count
+        voxelize_output_capacity=65536,
         emit_raw_points=False,  # publish-parity: only the voxelized cloud
     )
     # pipeline_depth=1: frame k's packet rides the h2d link while step k-1
@@ -231,6 +236,9 @@ def main():
     log(f"rle_partials: true={vox_partials} "
         f"cap={cfg.voxelize_partials_capacity} "
         f"({'OVERFLOW — raise voxelize_partials_capacity' if vox_partials > cfg.voxelize_partials_capacity else 'ok'})")
+    fused_n = int(np.asarray(out.fused_count))
+    log(f"fused cells: {fused_n} cap={cfg.voxelize_output_capacity} "
+        f"({'OVERFLOW — raise voxelize_output_capacity' if fused_n >= cfg.voxelize_output_capacity else 'ok'})")
 
     # --- speed-of-light accounting: measure the two pipeline legs in
     # isolation so the fps number is explainable (and tunnel phase drift

@@ -348,3 +348,53 @@ def test_loop_closure_recovers_injected_drift(tmp_path):
     assert ate_after < ate_before / 2, (
         f"closure gain too small: {ate_before * 100:.2f} cm -> "
         f"{ate_after * 100:.2f} cm with {n_loops} closures")
+
+
+def test_odometry_failure_modes():
+    """Failure-mode coverage (VERDICT r3 weak #7): feature-poor frames,
+    heavy depth dropout and pure rotation must not crash or corrupt the
+    pose; the min_inliers fallback must keep the last pose and spawn a
+    recovery keyframe."""
+    intr = PinholeIntrinsics.default_for(160, 120)
+    rng = np.random.default_rng(4)
+    spheres = [Sphere(rng.uniform(-2, 2, 3) + [0, 0, 3.5],
+                      rng.uniform(0.3, 0.5)) for _ in range(8)]
+    ds = SyntheticRigDataset(intr, spheres=spheres, ground_z=None)
+    odo = RgbdOdometry(intr, max_keypoints=256, min_inliers=8,
+                       inlier_threshold=0.1)
+    pose0 = np.eye(4, dtype=np.float32)
+    depth_u16, intensity = ds.render(pose0)
+    odo.process(0.0, intensity, depth_u16 * 0.001)
+    pose_before = odo.pose.copy()
+    kfs_before = len(odo.keyframes)
+
+    # 1. featureless frame (flat intensity, all depth holes): tracking
+    #    failure -> pose kept, recovery keyframe spawned
+    flat = np.full((120, 160), 128.0, np.float32)
+    res = odo.process(1 / 30, flat, np.zeros((120, 160), np.float32))
+    assert res.is_keyframe
+    assert len(odo.keyframes) == kfs_before + 1
+    np.testing.assert_array_equal(odo.pose, pose_before)
+
+    # 2. heavy dropout (80% of depth removed) on a normal view: either
+    #    tracks (small motion) or falls back — pose stays finite
+    depth_u16, intensity = ds.render(pose0)
+    holey = depth_u16.copy()
+    holey[rng.random(holey.shape) < 0.8] = 0
+    res = odo.process(2 / 30, intensity, holey * 0.001)
+    assert np.all(np.isfinite(odo.pose))
+
+    # 3. pure rotation (no translation): relative pose must be recovered
+    #    as a near-pure rotation when tracking succeeds
+    odo2 = RgbdOdometry(intr, max_keypoints=256, min_inliers=8,
+                        inlier_threshold=0.1)
+    d0, i0 = ds.render(pose0)
+    odo2.process(0.0, i0, d0 * 0.001)
+    rot = transforms.make_se3(transforms.rot_y(0.03), np.zeros(3))
+    d1, i1 = ds.render(rot)
+    res = odo2.process(1 / 30, i1, d1 * 0.001)
+    if res.num_inliers >= 8:   # tracked
+        assert np.linalg.norm(odo2.pose[:3, 3]) < 0.05
+        ang = np.arccos(np.clip((np.trace(odo2.pose[:3, :3]) - 1) / 2,
+                                -1, 1))
+        assert abs(ang - 0.03) < 0.02, ang
