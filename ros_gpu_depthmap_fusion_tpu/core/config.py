@@ -92,7 +92,12 @@ class FusionConfig:
     # static cap on emitted voxelized points (= max simultaneously occupied
     # cells; overflow drops cells and caps the count — explicit policy
     # where the reference grew buffers silently). 256k cells is ~8% of the
-    # largest deployment grid.
+    # largest deployment grid. PERF: the occupancy scatter-max and output
+    # compaction scale with this CAP, not the live cell count (each
+    # halving saved ~0.5-1 ms/frame at the bench operating point,
+    # benchmarks/r4_outcap_probe.py) — size it to the deployment's
+    # measured occupancy with headroom; FrameOutputs.fused_count vs this
+    # cap is the overflow observable.
     voxelize_output_capacity: int = 262144
 
     # --- host->device depth link ---
