@@ -163,3 +163,31 @@ def test_voxelize_domains_matches_concat():
     assert int(one[1]) == int(two[1])
     np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(two[0]))
     np.testing.assert_array_equal(np.asarray(one[2]), np.asarray(two[2]))
+
+
+def test_hetero_pipelined_matches_sync():
+    """Heterogeneous engine with pipeline_depth=1 (per-group encode on
+    the worker thread, bits tuple through the packet) must match the
+    synchronous hetero engine bit-for-bit."""
+    rng = np.random.default_rng(9)
+    d0, d1, tf0, tf1 = _scene(rng)
+    sync = FusionEngine(_cfg_hetero(depth_link_codec="dpcm"))
+    pipe = FusionEngine(_cfg_hetero(depth_link_codec="dpcm"),
+                        pipeline_depth=1)
+    out_s = _run(sync, d0, d1, tf0, tf1, frames=4)
+    outs_p = []
+    i0 = PinholeIntrinsics.default_for(W0, H0)
+    i1 = PinholeIntrinsics.default_for(W1, H1)
+    for f in range(4):
+        pipe.add_depthmap(0, d0, i0, tf0, tf0)
+        pipe.add_depthmap(1, d1, i1, tf1, tf1)
+        o = pipe.process(10.0 + f / 30.0)
+        if o is not None:
+            outs_p.append(o)
+    tail = pipe.flush()
+    assert tail is not None
+    outs_p.append(tail)
+    out_p = outs_p[-1]
+    np.testing.assert_array_equal(np.asarray(out_s.occupancy_u8),
+                                  np.asarray(out_p.occupancy_u8))
+    assert _point_set(out_s) == _point_set(out_p)
