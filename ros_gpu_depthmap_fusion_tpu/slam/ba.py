@@ -63,6 +63,28 @@ def _residuals_and_blocks(poses, landmarks, obs_pose, obs_lm, obs_pt,
     return res, j_pose, j_lm, w
 
 
+HUBER_DELTA = 0.15   # metres; residuals beyond this are IRLS-down-weighted
+# stereo-depth noise model sigma(z) = SIGMA0 + SIGMA2 * z^2 (RealSense
+# class); observations are weighted by (sigma(2m)/sigma(z))^2 so a 6 m
+# return (sigma ~ 9x a 1 m return) cannot bias the pose the way an
+# isotropic weighting lets it
+SIGMA0 = 0.001
+SIGMA2 = 0.0025
+
+
+def _huber_w(res, w, z):
+    """Measurement weighting: depth-noise normalization (1/sigma(z)^2,
+    normalized at 2 m) x Huber IRLS (1 inside HUBER_DELTA, delta/|r|
+    beyond — keeps outlier observations, e.g. bad landmark inheritances
+    that survive the frontend gates, from dominating the normal
+    equations)."""
+    sig = SIGMA0 + SIGMA2 * z * z
+    sig_ref = SIGMA0 + SIGMA2 * 4.0
+    w = w * (sig_ref / sig) ** 2
+    rn = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-12)
+    return w * jnp.minimum(1.0, HUBER_DELTA / rn)
+
+
 def _reduce_local(poses, landmarks, obs_pose, obs_lm, obs_pt, obs_valid,
                   num_poses: int, num_landmarks: int, damping: float):
     """One shard's contributions: (Hpp [M,6,6], b_p [M,6], W [L, 6M, 3]
@@ -70,6 +92,7 @@ def _reduce_local(poses, landmarks, obs_pose, obs_lm, obs_pt, obs_valid,
     m, l = num_poses, num_landmarks
     res, j_pose, j_lm, w = _residuals_and_blocks(
         poses, landmarks, obs_pose, obs_lm, obs_pt, obs_valid)
+    w = _huber_w(res, w, obs_pt[:, 2])
     jw = j_pose * w[:, None, None]
     hpp = jnp.zeros((m, 6, 6)).at[obs_pose].add(
         jnp.einsum("oik,oil->okl", jw, j_pose), mode="drop")
@@ -133,21 +156,46 @@ def _apply_delta(poses, landmarks, delta_p, delta_l):
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def solve_window(problem: BAProblem, iterations: int = 8,
                  damping: float = 1e-4) -> Tuple[BAProblem, jnp.ndarray]:
-    """Run fixed Gauss-Newton iterations; returns (problem', chi2 [iters])."""
+    """Run fixed Gauss-Newton iterations; returns (problem', chi2 [iters]).
+
+    Traced under float32 matmul precision: TPU's DEFAULT matmul precision
+    is bf16, which destroys the normal-equation solve (measured: the hard
+    synthetic diverges from 4.7 cm ATE to 16.7 m the moment BA runs on
+    the axon backend; float32 precision restores CPU-grade results).
+    A no-op on CPU.
+
+    Levenberg-Marquardt step control: a candidate update is ACCEPTED only
+    if it does not increase chi2; rejected steps raise the damping 8x,
+    accepted ones relax it 2x (floored at the configured damping). Plain
+    fixed-iteration GN diverged on real odometry windows with outlier
+    landmark inheritances (measured: chi2 0.67 -> 19.5 on a captured
+    window, identically on CPU and TPU)."""
     m = problem.poses.shape[0]
     l = problem.landmarks.shape[0]
 
     def body(carry, _):
-        poses, landmarks = carry
+        poses, landmarks, damp = carry
         hpp, b_p, coupling, counts, b_l, chi2 = _reduce_local(
             poses, landmarks, problem.obs_pose, problem.obs_lm,
-            problem.obs_pt, problem.obs_valid, m, l, damping)
-        dp, dl = _solve_reduced(hpp, b_p, coupling, counts, b_l, damping)
-        poses, landmarks = _apply_delta(poses, landmarks, dp, dl)
-        return (poses, landmarks), chi2
+            problem.obs_pt, problem.obs_valid, m, l, damp)
+        dp, dl = _solve_reduced(hpp, b_p, coupling, counts, b_l, damp)
+        cand_p, cand_l = _apply_delta(poses, landmarks, dp, dl)
+        res, _, _, w = _residuals_and_blocks(
+            cand_p, cand_l, problem.obs_pose, problem.obs_lm,
+            problem.obs_pt, problem.obs_valid)
+        w = _huber_w(res, w, problem.obs_pt[:, 2])
+        chi2_new = jnp.sum(w * jnp.sum(res * res, axis=-1))
+        accept = chi2_new <= chi2
+        poses = jnp.where(accept, cand_p, poses)
+        landmarks = jnp.where(accept, cand_l, landmarks)
+        damp = jnp.clip(jnp.where(accept, damp * 0.5, damp * 8.0),
+                        damping, 1e3)
+        return (poses, landmarks, damp), chi2
 
-    (poses, landmarks), chi2s = jax.lax.scan(
-        body, (problem.poses, problem.landmarks), None, length=iterations)
+    with jax.default_matmul_precision("float32"):
+        (poses, landmarks, _), chi2s = jax.lax.scan(
+            body, (problem.poses, problem.landmarks,
+                   jnp.float32(damping)), None, length=iterations)
     return problem._replace(poses=poses, landmarks=landmarks), chi2s
 
 
@@ -166,13 +214,13 @@ def build_sharded_ba_step(mesh, axis: str, num_poses: int,
 
     def local(poses, landmarks, obs_pose, obs_lm, obs_pt, obs_valid):
         def body(carry, _):
-            poses, landmarks = carry
+            poses, landmarks, damp = carry
             hpp, b_p, coupling, counts, b_l, chi2 = _reduce_local(
                 poses, landmarks, obs_pose, obs_lm, obs_pt, obs_valid,
-                m, landmarks_per_shard, damping)
+                m, landmarks_per_shard, damp)
             # combine the reduced camera system across landmark shards
             l = landmarks_per_shard
-            inv_hll = 1.0 / (counts + damping)
+            inv_hll = 1.0 / (counts + damp)
             w_flat = coupling.reshape(l, 6 * m, 3)  # pose-major flatten: row = i * 6 + a
             ws = w_flat * inv_hll[:, None, None]
             s_contrib = -jnp.einsum("lak,lbk->ab", ws, w_flat)
@@ -187,7 +235,7 @@ def build_sharded_ba_step(mesh, axis: str, num_poses: int,
                 0, m, lambda i, acc: jax.lax.dynamic_update_slice(
                     acc, hpp[i], (6 * i, 6 * i)),
                 jnp.zeros((6 * m, 6 * m)))
-            s_full = s_full + damping * jnp.eye(6 * m) + s_extra
+            s_full = s_full + damp * jnp.eye(6 * m) + s_extra
             b_red = b_p.reshape(-1) + b_extra
             mask = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (m - 1))])
             s_full = (s_full * mask[:, None] * mask[None, :]
@@ -196,12 +244,29 @@ def build_sharded_ba_step(mesh, axis: str, num_poses: int,
             delta_p = jnp.linalg.solve(s_full, b_red).reshape(m, 6)
             wtdp = jnp.einsum("lak,a->lk", w_flat, delta_p.reshape(-1))
             delta_l = inv_hll[:, None] * (b_l - wtdp)
-            poses, landmarks = _apply_delta(poses, landmarks, delta_p,
-                                            delta_l)
-            return (poses, landmarks), chi2
+            cand_p, cand_l = _apply_delta(poses, landmarks, delta_p,
+                                          delta_l)
+            # LM accept/reject (see solve_window); chi2_new is the psum of
+            # the per-shard candidate residuals, so every shard takes the
+            # same branch
+            res, _, _, w = _residuals_and_blocks(
+                cand_p, cand_l, obs_pose, obs_lm, obs_pt, obs_valid)
+            w = _huber_w(res, w, obs_pt[:, 2])
+            chi2_new = jax.lax.psum(
+                jnp.sum(w * jnp.sum(res * res, axis=-1)), axis)
+            accept = chi2_new <= chi2
+            poses = jnp.where(accept, cand_p, poses)
+            landmarks = jnp.where(accept, cand_l, landmarks)
+            damp = jnp.clip(jnp.where(accept, damp * 0.5, damp * 8.0),
+                            damping, 1e3)
+            return (poses, landmarks, damp), chi2
 
-        (poses, landmarks), chi2s = jax.lax.scan(
-            body, (poses, landmarks), None, length=iterations)
+        # float32 matmul precision: TPU default bf16 destroys the
+        # normal-equation solve (see solve_window)
+        with jax.default_matmul_precision("float32"):
+            (poses, landmarks, _), chi2s = jax.lax.scan(
+                body, (poses, landmarks, jnp.float32(damping)), None,
+                length=iterations)
         return poses, landmarks, chi2s
 
     mapped = shard_map(

@@ -37,7 +37,11 @@ def _perturb(t, xi):
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize(graph: PoseGraph, iterations: int = 10,
              damping: float = 1e-6) -> Tuple[PoseGraph, jnp.ndarray]:
-    """Gauss-Newton with pose 0 gauge-fixed. Returns (graph', chi2[iters])."""
+    """Gauss-Newton with pose 0 gauge-fixed. Returns (graph', chi2[iters]).
+
+    Traced under float32 matmul precision — TPU's default bf16 matmuls
+    wreck Gauss-Newton linear algebra (see ba.solve_window); no-op on
+    CPU."""
     n = graph.poses.shape[0]
 
     def residual_jac(ti, tj, z):
@@ -93,5 +97,7 @@ def optimize(graph: PoseGraph, iterations: int = 10,
         poses = jax.vmap(_perturb)(poses, delta)
         return poses, chi2
 
-    poses, chi2s = jax.lax.scan(body, graph.poses, None, length=iterations)
+    with jax.default_matmul_precision("float32"):
+        poses, chi2s = jax.lax.scan(body, graph.poses, None,
+                                    length=iterations)
     return graph._replace(poses=poses), chi2s
