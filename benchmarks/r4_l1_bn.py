@@ -81,7 +81,7 @@ def main():
         return dt
 
     CAP = 512 * 1024
-    for bn in (1024, 2048, 4096, 8192):
+    for bn in (2048, 4096, 8192):
         try:
             t(f"level-1 rle bn={bn} ({-(-n // bn)} blocks)",
               lambda k, vv, b=bn: rle_reduce_pallas(
