@@ -238,8 +238,15 @@ def rle_reduce_pallas(keys: jnp.ndarray, vals: jnp.ndarray, capacity: int,
     Args:
         keys: ``[N]`` int32 in [0, sentinel]; ``sentinel`` rows are ignored
             (and break runs). Must satisfy sentinel < 2^24.
-        vals: ``[N, D]`` float32, D <= 7 (finite; sentinel rows may hold
-            anything finite — they are never accumulated into emitted runs).
+        vals: ``[N, D]`` float32, D <= 7. REQUIRED: NON-NEGATIVE
+            INTEGER-VALUED, with every emitted run sum < 2^24 — the
+            emission path splits each value into three base-256 bf16
+            digits (exact single-MXU-pass form, ops/pallas/compact.py),
+            which silently corrupts negative or fractional payloads.
+            Sentinel rows may hold anything in-range — they are never
+            accumulated into emitted runs. (All current callers comply:
+            the voxelize levels carry cell-relative quantized coords and
+            0/1 counts.)
         capacity: static max emitted runs; overflow rows are dropped (the
             count still reports the true number of runs, clamped here).
 

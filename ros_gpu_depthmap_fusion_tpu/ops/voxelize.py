@@ -304,8 +304,16 @@ def voxelize_average_rle_domains(domains,
     ``partials_capacity``; all partials (plus the raster-incoherent
     ``extra_*`` rows) join at the partials sort. Exact: integer partial
     sums commute, so any domain split reproduces the concatenated-input
-    result bit-for-bit. The reported partials count is the SUM of the
-    per-domain true run counts (> capacity share sum means rows dropped).
+    result bit-for-bit.
+
+    Overflow observable: the reported partials count is the MAX over
+    domains of the true run count scaled to the full capacity
+    (``l1t_d * partials_capacity / cap_d``), so the caller's single
+    comparison ``count > partials_capacity`` is sound per domain — a
+    skewed domain that overflows its own share reports above capacity
+    even when the summed true count would not (and a heterogeneous rig
+    whose ``max(1 << 12, …)`` share floors sum above the configured
+    capacity can no longer mask a non-overflowing run as an overflow).
     """
     from ros_gpu_depthmap_fusion_tpu.ops.pallas.segreduce import (
         rle_reduce_pallas)
@@ -344,7 +352,15 @@ def voxelize_average_rle_domains(domains,
                                            force_break=128)
         pks.append(pk)
         pss.append(_pack_partials(ps))
-        l1_true = l1_true + l1t
+        # overflow observable: scale this domain's true count to the full
+        # capacity so `reported > partials_capacity` <=> `l1t > cap_d`
+        # (per-domain share overflow) — see docstring. f32 is exact
+        # enough for a diagnostic; the product is bounded by
+        # max(partials_capacity, n_total) so it fits int32.
+        scale = float(partials_capacity) / float(cap_d)
+        l1_true = jnp.maximum(
+            l1_true,
+            jnp.ceil(l1t.astype(jnp.float32) * scale).astype(jnp.int32))
     if extra_points is not None:
         ekey = jnp.where(extra_mask,
                          extra_cell_indices.astype(jnp.int32),

@@ -114,10 +114,11 @@ class FrameOutputs(NamedTuple):
     # cheap d2h payload (ops.voxel.occupancy_bitmap)
     occupancy_bits: jnp.ndarray
     seq_selected_count: jnp.ndarray
-    # true (unclamped) level-1 run count of the RLE voxelize path; a value
-    # above cfg.voxelize_partials_capacity (or its N//4 default) means
-    # partial rows were dropped this frame — observable overflow. 0 in
-    # non-RLE modes.
+    # level-1 run-count overflow observable of the RLE voxelize path: the
+    # max over raster domains of the true (unclamped) run count scaled to
+    # the full capacity; a value above cfg.voxelize_partials_capacity (or
+    # its N//4 default) means SOME domain overflowed its capacity share
+    # and partial rows were dropped this frame. 0 in non-RLE modes.
     vox_partials_count: jnp.ndarray = jnp.int32(0)
 
 

@@ -57,19 +57,31 @@ def keyframe_pool(kps: feat.Keypoints) -> np.ndarray:
     return np.tile(desc[good], (reps, 1))[:POOL]
 
 
-def _popcount8(x: np.ndarray) -> np.ndarray:
-    """Popcount over the last (u32 x 8) axis."""
-    return np.unpackbits(
-        np.ascontiguousarray(x).view(np.uint8), axis=-1).sum(-1)
+# 256-entry byte-popcount table: indexing the xor BYTES through it costs
+# 2 bytes/element vs unpackbits' 8 (which materialized ~1 MB per past
+# keyframe per query and degraded badly on long sequences)
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint16)
 
 
-def pool_scores(query: np.ndarray, pools: np.ndarray) -> np.ndarray:
+def pool_scores(query: np.ndarray, pools: np.ndarray,
+                chunk: int = 128) -> np.ndarray:
     """Mean-of-min Hamming from ``query [POOL, 8]`` into each of
-    ``pools [N, POOL, 8]`` -> ``[N]`` (lower = more similar)."""
+    ``pools [N, POOL, 8]`` -> ``[N]`` (lower = more similar).
+
+    Chunked over the pools axis so peak memory is O(chunk), not O(N):
+    long sequences (thousands of keyframes) stay at a bounded ~50 MB
+    working set per query regardless of map size."""
     n = pools.shape[0]
-    x = np.bitwise_xor(query[:, None, None, :], pools[None])  # [P,N,P,8]
-    d = _popcount8(x)                                         # [P,N,P]
-    return d.min(axis=2).mean(axis=0)
+    qb = np.ascontiguousarray(query).view(np.uint8)      # [P, 32]
+    pb = np.ascontiguousarray(pools).view(np.uint8)      # [N, P, 32]
+    out = np.empty(n, np.float32)
+    for s in range(0, n, chunk):
+        x = np.bitwise_xor(qb[:, None, None, :], pb[None, s:s + chunk])
+        # [P, C, P]: per-pair Hamming distance (<= 256, fits u16)
+        d = _POPCNT8[x].sum(-1, dtype=np.uint16)
+        out[s:s + chunk] = d.min(axis=2).mean(axis=0)
+    return out
 
 
 @dataclasses.dataclass

@@ -165,6 +165,43 @@ def test_voxelize_domains_matches_concat():
     np.testing.assert_array_equal(np.asarray(one[2]), np.asarray(two[2]))
 
 
+def test_voxelize_domains_skewed_overflow_observable():
+    """A domain that overflows its own capacity SHARE must report above
+    ``partials_capacity`` even when the summed true run count stays below
+    it (round-4 advisor finding: the summed count silently masked
+    per-domain drops)."""
+    from ros_gpu_depthmap_fusion_tpu.ops.voxelize import (
+        voxelize_average_rle_domains)
+    cfg = FusionConfig(num_depth_streams=1, **BOX)
+    grid = VoxelGrid.from_config(cfg)
+    rng = np.random.default_rng(3)
+    # domain A: 5000 points in mostly-distinct cells -> ~5000 level-1
+    # runs, but its pixel-proportional share of capacity is only
+    # max(4096, 8192*5000/50000) = 4096 -> A overflows its share
+    n_a, n_b = 5000, 45000
+    pts_a = np.concatenate([
+        rng.uniform(-3, 3, (n_a, 2)), rng.uniform(0, 2.5, (n_a, 1)),
+        np.ones((n_a, 1))], axis=1).astype(np.float32)
+    # domain B: one dense spot -> few runs (force_break=128 splits it
+    # into ~n_b/128 rows, well inside B's share)
+    pts_b = np.tile(np.array([[0.05, 0.05, 1.0, 1.0]], np.float32),
+                    (n_b, 1))
+    ids_a = np.asarray(grid.cell_index_clamped(jnp.asarray(pts_a[:, :3])))
+    ids_b = np.asarray(grid.cell_index_clamped(jnp.asarray(pts_b[:, :3])))
+    cap = 8192
+    res = voxelize_average_rle_domains(
+        [(jnp.asarray(pts_a), jnp.asarray(ids_a),
+          jnp.ones(n_a, bool)),
+         (jnp.asarray(pts_b), jnp.asarray(ids_b),
+          jnp.ones(n_b, bool))],
+        grid, 4096, partials_capacity=cap, interpret=True,
+        return_partials_count=True)
+    reported = int(res[-1])
+    # summed true counts stay under the capacity (the old observable
+    # would NOT fire) but the scaled per-domain report must
+    assert reported > cap, reported
+
+
 def test_hetero_pipelined_matches_sync():
     """Heterogeneous engine with pipeline_depth=1 (per-group encode on
     the worker thread, bits tuple through the packet) must match the
