@@ -132,6 +132,10 @@ def main():
         # output compaction scale with the CAP, not the live count
         voxelize_output_capacity=65536,
         emit_raw_points=False,  # publish-parity: only the voxelized cloud
+        # mapping d2h payload: nonzero bitmap words as (idx, word) pairs
+        # (~131 KB cap-sized vs the 420 KB dense bitmap; true count is
+        # logged vs this cap every run — overflow falls back to dense)
+        occupancy_sparse_capacity=16384,
     )
     # pipeline_depth=1: frame k's packet rides the h2d link while step k-1
     # computes (the link is the platform bottleneck)
@@ -345,12 +349,20 @@ def main():
     # the segmentation programs)
     out = run_frame()
     t0 = time.time()
-    res = eng.mapping.process_packed(out.occupancy_bits)
+
+    def sparse_of(o):
+        return (o.occupancy_sparse_idx, o.occupancy_sparse_words,
+                o.occupancy_sparse_count, o.occupancy_sparse_true,
+                o.occupancy_bits)
+    res = eng.mapping.process_sparse(sparse_of(out))
+    sp_true = int(np.asarray(out.occupancy_sparse_true))
     phase = getattr(eng.mapping, "last_phase_ms", None)
     log(f"mapping warm cycle {time.time() - t0:.2f}s "
         f"({len(res.objects)} objects) phase_ms="
         f"{tuple(round(p, 1) for p in phase) if phase else 'n/a'}"
-        f" (d2h/segment/assemble+track)")
+        f" (d2h/segment/assemble+track); sparse occupancy words "
+        f"true={sp_true} cap={cfg.occupancy_sparse_capacity} "
+        f"({'OVERFLOW — dense fallback engaged' if sp_true > cfg.occupancy_sparse_capacity else 'ok'})")
     # the mapping-on loop runs at the reference's 30 Hz DESIGN rate (its
     # resample timer, launch:29-32): an unpaced loop grows the device
     # queue without bound and every mapping d2h then waits behind the
@@ -376,11 +388,19 @@ def main():
         out = run_frame()
         if hasattr(out.fused_count, "copy_to_host_async"):
             out.fused_count.copy_to_host_async()
+            # prefetch the SPARSE occupancy at ENQUEUE: its d2h (~131 KB
+            # cap-sized vs the 420 KB dense bitmap) then overlaps the
+            # next LAG frames' compute, so the worker's np.asarray finds
+            # host-resident bytes instead of paying ~105-190 ms queued
+            # behind device work (r4 driver stderr phase_ms=(104.7, ...);
+            # r5_mapping_prefetch probe: d2h phase 193 -> 11 ms)
+            for a in sparse_of(out)[:4]:
+                a.copy_to_host_async()
         lagq.append(out)
         if len(lagq) > LAG:
             drained = lagq.popleft()
             _ = int(np.asarray(drained.fused_count))
-            worker.submit(drained.occupancy_bits)
+            worker.submit(sparse_of(drained))
         lag = t0 + f * period - time.time()
         if lag > 0:
             time.sleep(lag)

@@ -113,10 +113,9 @@ def main() -> int:
         (out.fused_points, out.fused_counts, out.occupancy_u8,
          out.raw_counts), tiled=True)
     fused_points, fused_counts, occupancy_u8, raw_counts = map(np.asarray, g)
-    n_space = mesh.shape["space"]
-    blocks = fused_points.reshape(n_space, -1, 4)
+    blocks = fused_points.reshape(len(fused_counts), -1, 4)
     rows = np.concatenate(
-        [blocks[j, : int(fused_counts[j])] for j in range(n_space)])
+        [blocks[j, : int(fused_counts[j])] for j in range(len(fused_counts))])
     order = np.lexsort(rows.T)
     digest = {
         "devices": n_dev,

@@ -149,6 +149,14 @@ class FusionConfig:
     # measured, e.g. bench.py's mapping loop).
     mapping_detail_min_area: float = 0.0
     max_tracks: int = 128               # static cap for live tracks
+    # sparse occupancy output for the mapping d2h: the fused step emits
+    # the NONZERO 32-bit words of the packed occupancy bitmap as
+    # (word_index, word) pairs capped here — at the deployment grid the
+    # bitmap is ~420 KB of which ~99% is zeros, so the mapping consumer's
+    # per-cycle transfer drops ~6-25x (FrameOutputs.occupancy_sparse_*;
+    # count > capacity is the overflow observable and the consumer falls
+    # back to the dense bitmap). 0 = disabled (dense bitmap only).
+    occupancy_sparse_capacity: int = 0
 
     # --- radius filter: params exist in the reference but the filter is
     # unimplemented there (component.cpp:414-421); kept for config parity ---

@@ -155,6 +155,46 @@ class MappingPipeline:
             return out
         return self.process(jnp.asarray(occ.reshape(-1)), dt, with_contours)
 
+    def process_sparse(self, sparse,
+                       dt: float | None = None,
+                       with_contours: bool = True) -> MappingResult:
+        """Mapping step from the fused step's SPARSE occupancy output
+        (``FrameOutputs.occupancy_sparse_*``): ``sparse`` is
+        ``(word_idx, words, count, true_count[, dense_bits_fallback])``.
+        The d2h is ~8 bytes per occupied bitmap word instead of the full
+        ~num_cells/8-byte bitmap; on capacity overflow (true_count >
+        capacity) the dense bitmap fallback is fetched instead."""
+        import time as _t
+        t0 = _t.perf_counter()
+        idx, words = sparse[0], sparse[1]
+        cnt = int(np.asarray(sparse[2]))
+        true_cnt = int(np.asarray(sparse[3]))
+        cap = int(idx.shape[0])
+        if true_cnt > cap:
+            assert len(sparse) > 4 and sparse[4] is not None, (
+                "sparse occupancy overflowed its capacity "
+                f"({true_cnt} > {cap}) and no dense fallback was passed")
+            return self.process_packed(sparse[4], dt, with_contours)
+        iw = np.asarray(idx)[:cnt]
+        wv = np.asarray(words)[:cnt]
+        t1 = _t.perf_counter()
+        n = self.grid.num_cells
+        nbytes = -(-n // 8)
+        buf = np.zeros(-(-nbytes // 4), np.uint32)
+        buf[iw] = wv.view(np.uint32)
+        z, y, x = self.grid.shape_zyx
+        occ = np.unpackbits(buf.view(np.uint8)[:nbytes],
+                            bitorder="little", count=n).reshape(z, y, x)
+        if self.backend == "host":
+            res = self._segment_host(occ)
+            t2 = _t.perf_counter()
+            out = self._finish(res, dt, with_contours)
+            t3 = _t.perf_counter()
+            self.last_phase_ms = ((t1 - t0) * 1e3, (t2 - t1) * 1e3,
+                                  (t3 - t2) * 1e3)
+            return out
+        return self.process(jnp.asarray(occ.reshape(-1)), dt, with_contours)
+
     def process_host_grid(self, occ_zyx: np.ndarray,
                           dt: float | None = None,
                           with_contours: bool = True) -> MappingResult:
@@ -250,7 +290,25 @@ class AsyncMappingWorker:
 
     def submit(self, occupancy_u8) -> None:
         """Non-blocking: hand the newest occupancy to the worker (device
-        array; the d2h happens on the worker thread)."""
+        array; the d2h happens on the worker thread).
+
+        The transfer is PREFETCHED here (``copy_to_host_async``) so the
+        worker's ``np.asarray`` finds the bytes already on host — without
+        this the worker's cold fetch of the ~420 KB bitmap was ~105 ms of
+        a ~145 ms cycle even with the producer's frame hard-drained,
+        because the fetch queued behind in-flight device work (round-4
+        driver stderr; round-5 verdict item 2).
+
+        A TUPLE submission is the sparse occupancy path
+        (``FrameOutputs.occupancy_sparse_*`` + optional dense fallback,
+        routed to :meth:`MappingPipeline.process_sparse`); only its
+        sparse members are prefetched (the dense fallback is the rare
+        overflow path)."""
+        items = (occupancy_u8[:4] if isinstance(occupancy_u8, tuple)
+                 else (occupancy_u8,))
+        for it in items:
+            if hasattr(it, "copy_to_host_async"):
+                it.copy_to_host_async()
         try:
             self._q.put_nowait(occupancy_u8)
         except queue.Full:
@@ -280,8 +338,12 @@ class AsyncMappingWorker:
                   else min(max(now - self._last_cycle_t,
                                self.pipeline.cfg.tracking_dt), self.dt_max))
             self._last_cycle_t = now
-            res = (self.pipeline.process_packed(occ, dt=dt) if self.packed
-                   else self.pipeline.process(occ, dt=dt))
+            if isinstance(occ, tuple):
+                res = self.pipeline.process_sparse(occ, dt=dt)
+            elif self.packed:
+                res = self.pipeline.process_packed(occ, dt=dt)
+            else:
+                res = self.pipeline.process(occ, dt=dt)
             with self._lock:
                 self._latest = res
                 self.cycles += 1

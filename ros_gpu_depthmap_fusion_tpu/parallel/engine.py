@@ -55,6 +55,15 @@ class ShardedFusionEngine(FusionEngine):
         self.n_stream = mesh.shape[STREAM_AXIS]
         self.n_space = mesh.shape[SPACE_AXIS]
         assert cfg.num_depth_streams % self.n_stream == 0
+        # loud capability gates (round-5 verdict item 3; the step builder
+        # re-checks, but failing at engine construction is clearer)
+        assert not cfg.is_heterogeneous, (
+            "heterogeneous stream_shapes are not supported on "
+            "ShardedFusionEngine yet — use the single-chip FusionEngine")
+        assert cfg.depth_link_codec in ("dpcm", "none"), (
+            f"depth_link_codec={cfg.depth_link_codec!r} is not supported "
+            "on ShardedFusionEngine (dpcm_temporal per-shard P-frame "
+            "state is not plumbed) — use 'dpcm' or 'none'")
         # one jitted step per depth-link variant (None = raw; else the
         # bucketed DPCM width, same bucketing as the single-chip packet)
         self._steps = {}
@@ -257,10 +266,13 @@ class ShardedFusionEngine(FusionEngine):
             [raw[i, : counts[i]] for i in range(self.n_stream)])
 
     def fused_points_host(self, out: ShardedFrameOutputs) -> np.ndarray:
-        blocks = np.asarray(out.fused_points).reshape(self.n_space, -1, 4)
+        # average mode emits one compacted sub-block per (space, stream)
+        # pair (reduce-scattered voxelize); occupied mode one per space
+        # block — reshape by the counts vector either way
         counts = np.asarray(out.fused_counts)
+        blocks = np.asarray(out.fused_points).reshape(len(counts), -1, 4)
         return np.concatenate(
-            [blocks[j, : counts[j]] for j in range(self.n_space)])
+            [blocks[j, : counts[j]] for j in range(len(counts))])
 
     def occupancy_host(self, out: ShardedFrameOutputs) -> np.ndarray:
         return np.asarray(out.occupancy_u8)[: self.grid.num_cells]
@@ -272,7 +284,8 @@ class ShardedFusionEngine(FusionEngine):
         is n_space small slabs totalling ~num_cells/8 bytes)."""
         from ros_gpu_depthmap_fusion_tpu.parallel.sharded import (
             padded_num_cells)
-        block = padded_num_cells(self.grid, self.n_space) // self.n_space
+        block = (padded_num_cells(self.grid, self.n_space, self.n_stream)
+                 // self.n_space)
         bb = -(-block // 8)
         packed = np.asarray(out.occupancy_bits).reshape(self.n_space, bb)
         occ = np.concatenate(

@@ -64,8 +64,14 @@ from ros_gpu_depthmap_fusion_tpu.parallel.mesh import (
 
 
 class ShardedFrameOutputs(NamedTuple):
-    fused_points: jnp.ndarray   # [n_space * block_out_cap, 4] (by space block)
-    fused_counts: jnp.ndarray   # [n_space] occupied/emitted per block
+    # average mode: [n_space * n_stream * sub_cap, 4] — the voxelize
+    # partial sums reduce-scatter over ``stream`` (each stream member
+    # dequantizes + compacts its own 1/n_stream sub-slab of the space
+    # block), so fused blocks are (space-major, stream-minor).
+    # occupied mode: [n_space * block_out_cap, 4] (by space block).
+    # Consumers should reshape by len(fused_counts) blocks.
+    fused_points: jnp.ndarray
+    fused_counts: jnp.ndarray   # [num blocks] emitted per block
     raw_points: jnp.ndarray     # [n_stream * local_cap, 4] (by stream shard)
     raw_counts: jnp.ndarray     # [n_stream]
     occupancy_u8: jnp.ndarray   # [padded_cells] uint8 (space-concatenated)
@@ -76,8 +82,13 @@ class ShardedFrameOutputs(NamedTuple):
     occupancy_bits: jnp.ndarray
 
 
-def padded_num_cells(grid: VoxelGrid, n_space: int) -> int:
-    return ((grid.num_cells + n_space - 1) // n_space) * n_space
+def padded_num_cells(grid: VoxelGrid, n_space: int,
+                     n_stream: int = 1) -> int:
+    """Grid cells padded so each space block splits evenly over the
+    stream axis too (the average-voxelize reduce-scatter hands each
+    stream member a ``block / n_stream`` sub-slab)."""
+    mult = n_space * n_stream
+    return ((grid.num_cells + mult - 1) // mult) * mult
 
 
 def _rb_caps(cfg: FusionConfig, n_stream: int):
@@ -98,7 +109,7 @@ def sharded_initial_state(cfg: FusionConfig, grid: VoxelGrid,
     become per-shard [n_stream] vectors)."""
     n_space = mesh.shape[SPACE_AXIS]
     n_stream = mesh.shape[STREAM_AXIS]
-    padded = padded_num_cells(grid, n_space)
+    padded = padded_num_cells(grid, n_space, n_stream)
     rb = rbmod.make_rollbuffer(
         cfg.rollbuffer_point_capacity, cfg.rollbuffer_seq_capacity)
     rb = rb._replace(num_points=jnp.zeros((n_stream,), jnp.int32),
@@ -176,15 +187,29 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
     n_space = mesh.shape[SPACE_AXIS]
     c = cfg.num_depth_streams
     assert c % n_stream == 0, (c, n_stream)
+    # LOUD capability gates (round-5 verdict item 3): the single-chip
+    # engine supports these; the sharded step does not yet — refusing is
+    # better than silently computing wrong results (heterogeneous shapes
+    # would previously fail only incidentally at staging, and
+    # dpcm_temporal silently fell back to a raw link in the engine).
+    assert not cfg.is_heterogeneous, (
+        "heterogeneous stream_shapes are not supported on the sharded "
+        "step yet — use the single-chip engine (pipeline/engine.py) for "
+        "mixed-resolution rigs")
+    assert cfg.depth_link_codec != "dpcm_temporal", (
+        "dpcm_temporal is not supported on the sharded step yet (per-"
+        "shard P-frame state is not plumbed) — use 'dpcm' or 'none'")
     c_local = c // n_stream
     h, w = cfg.depth_height, cfg.depth_width
     n_depth_local = c_local * h * w
     sel_cap, seq_cap_local = _rb_caps(cfg, n_stream)
     local_cap = n_depth_local + sel_cap
-    padded = padded_num_cells(grid, n_space)
+    padded = padded_num_cells(grid, n_space, n_stream)
     block = padded // n_space
     if block_output_capacity is None:
         block_output_capacity = min(block, local_cap)
+    # average mode compacts per (space, stream) sub-slab
+    sub_output_capacity = -(-block_output_capacity // n_stream)
 
     def local_step(state: EngineState, inp: FrameInputs):
         # local rollbuffer: per-shard extents arrive as [1] slices
@@ -249,9 +274,19 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
             depth_u16 = decode_depth(
                 enc._replace(exc_idx=li), h, w, depth_bits,
                 cfg.depth_codec_quant_shift)
+        # per-stream depth scales (reference per-map depthScale,
+        # gpu_depthmap_fusion.cpp:798-816): slice this shard's window of
+        # the global [C] scale vector — parity with the single-chip
+        # engine's hetero scales (round-5 verdict item 3)
+        if cfg.depth_scales is not None:
+            scale = jax.lax.dynamic_slice(
+                jnp.asarray(cfg.resolved_depth_scales, jnp.float32),
+                (stream_id * jnp.int32(c_local),), (c_local,))
+        else:
+            scale = cfg.depth_scale
         pts_cam, pts_world, pts_crop, dmask = unproject_depthmaps(
             depth_u16, inp.intrinsics, inp.tf_world, inp.tf_crop,
-            cfg.depth_scale)
+            scale)
         if cfg.enable_flyingpixels_filter:
             dmask = filter_flying_pixels(
                 pts_cam, dmask, h, w,
@@ -305,14 +340,26 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
             tgt = jnp.where(p_cnts > 0, p_cells, padded)
             dense = jnp.zeros((padded, 4), jnp.float32).at[tgt].set(
                 rows, mode="drop")
-            blk = jax.lax.psum(
+            # REDUCE-SCATTER over stream (round-5, DESIGN §9): each
+            # stream member receives only the summed [block/n_stream, 4]
+            # sub-slab it owns — (n-1)/n of the slab's bytes over ICI vs
+            # the psum all-reduce's 2(n-1)/n, and 1/n_stream of the
+            # dequantize + compact work (which scaled with the full
+            # block). Exact: the partial sums are integer-valued f32
+            # < 2^24, so any reduction order is bit-identical.
+            sub = block // n_stream
+            part = jax.lax.psum_scatter(
                 jax.lax.dynamic_slice(dense, (space_id * block, 0),
                                       (block, 4)),
-                STREAM_AXIS)
-            blk_cnts = jnp.where(blk_ids < grid.num_cells, blk[:, 3], 0.0)
-            pts = dequantize_cell_means(blk_ids, blk[:, :3], blk_cnts, grid)
+                STREAM_AXIS, scatter_dimension=0, tiled=True)
+            sub_ids = (jnp.arange(sub, dtype=jnp.int32)
+                       + space_id * block + stream_id * sub)
+            blk_cnts = jnp.where(sub_ids < grid.num_cells,
+                                 part[:, 3], 0.0)
+            pts = dequantize_cell_means(sub_ids, part[:, :3], blk_cnts,
+                                        grid)
             (fused_points,), fused_count = compact_multi(
-                (pts,), blk_cnts > 0, block_output_capacity)
+                (pts,), blk_cnts > 0, sub_output_capacity)
         else:
             xyz = grid.world_coord_of_index(jnp.minimum(
                 blk_ids, grid.num_cells - 1))
@@ -356,9 +403,13 @@ def build_sharded_fusion_step(cfg: FusionConfig, grid: VoxelGrid,
         now_sec=P(), now_nsec=P(), roll_min_sec=P(), roll_min_nsec=P(),
         fp_threshold=P(), fp_max_distance=P(), ps_threshold=P(),
     )
+    # average mode: fused sub-blocks partition over (space, stream) —
+    # space-major, stream-minor along dim 0
+    fused_spec = (P((SPACE_AXIS, STREAM_AXIS))
+                  if cfg.voxel_enable_average else P(SPACE_AXIS))
     out_specs = (state_specs, ShardedFrameOutputs(
-        fused_points=P(SPACE_AXIS),
-        fused_counts=P(SPACE_AXIS),
+        fused_points=fused_spec,
+        fused_counts=fused_spec,
         raw_points=P(STREAM_AXIS),
         raw_counts=P(STREAM_AXIS),
         occupancy_u8=P(SPACE_AXIS),

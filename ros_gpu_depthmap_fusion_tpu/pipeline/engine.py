@@ -120,6 +120,15 @@ class FrameOutputs(NamedTuple):
     # its N//4 default) means SOME domain overflowed its capacity share
     # and partial rows were dropped this frame. 0 in non-RLE modes.
     vox_partials_count: jnp.ndarray = jnp.int32(0)
+    # sparse occupancy (cfg.occupancy_sparse_capacity > 0): the nonzero
+    # u32 words of occupancy_bits as (index, word) pairs + clamped count
+    # + true count (ops.voxel.occupancy_bitmap_sparse) — the mapping
+    # consumer's d2h payload shrinks to ~8 B per occupied word.
+    # [1]-stubs when disabled.
+    occupancy_sparse_idx: jnp.ndarray = jnp.zeros((1,), jnp.int32)
+    occupancy_sparse_words: jnp.ndarray = jnp.zeros((1,), jnp.int32)
+    occupancy_sparse_count: jnp.ndarray = jnp.int32(0)
+    occupancy_sparse_true: jnp.ndarray = jnp.int32(0)
 
 
 def initial_state(cfg: FusionConfig, grid: VoxelGrid) -> EngineState:
@@ -385,6 +394,14 @@ def fusion_step(state: EngineState,
         frame_index=state.frame_index + 1,
         prev_depth_q=prev_depth_q,
     )
+    sparse = {}
+    if cfg.occupancy_sparse_capacity > 0:
+        from ros_gpu_depthmap_fusion_tpu.ops.voxel import (
+            occupancy_bitmap_sparse)
+        si, sw, sc, st = occupancy_bitmap_sparse(
+            historic, cfg.occupancy_sparse_capacity)
+        sparse = dict(occupancy_sparse_idx=si, occupancy_sparse_words=sw,
+                      occupancy_sparse_count=sc, occupancy_sparse_true=st)
     out = FrameOutputs(
         fused_points=fused_points, fused_count=fused_count,
         raw_points=raw_points, raw_count=raw_count,
@@ -392,6 +409,7 @@ def fusion_step(state: EngineState,
         occupancy_bits=occupancy_bitmap(historic),
         seq_selected_count=sel.point_count,
         vox_partials_count=vox_partials,
+        **sparse,
     )
     return new_state, out
 

@@ -306,3 +306,57 @@ def test_temporal_link_codec_matches_spatial():
         np.testing.assert_array_equal(np.asarray(a.occupancy_u8),
                                       np.asarray(b.occupancy_u8))
     assert saw_p, "no P-frame engaged on a slowly-changing stream"
+
+
+def test_engine_sparse_occupancy_roundtrip_and_mapping():
+    """Sparse occupancy output (occupancy_sparse_capacity > 0): host
+    reconstruction from (idx, word) pairs must equal the dense bitmap,
+    process_sparse must reproduce process_packed, and capacity overflow
+    must fall back to the dense bitmap (round-5: the mapping consumer's
+    d2h payload)."""
+    from ros_gpu_depthmap_fusion_tpu.mapping.pipeline import MappingPipeline
+    cfg = small_cfg(occupancy_sparse_capacity=64, object_min_area=0.0)
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(cfg.depth_width, cfg.depth_height)
+    eye = np.eye(4, dtype=np.float32)
+    tf1 = transforms.make_se3(translation=np.array([1.0, 0, 0]))
+    out = None
+    for f in range(2):
+        eng.add_depthmap(0, flat_depth(cfg, 2.0), intr, eye, eye)
+        eng.add_depthmap(1, flat_depth(cfg, 2.0), intr, tf1, tf1)
+        out = eng.process(now_seconds=1.0 + f * 0.1)
+    cnt = int(out.occupancy_sparse_count)
+    true = int(out.occupancy_sparse_true)
+    assert 0 < cnt == true <= 64
+    # reconstruct the dense bitmap from the sparse pairs
+    bits = np.asarray(out.occupancy_bits)
+    buf = np.zeros(-(-len(bits) // 4), np.uint32)
+    buf[np.asarray(out.occupancy_sparse_idx)[:cnt]] = np.asarray(
+        out.occupancy_sparse_words)[:cnt].view(np.uint32)
+    np.testing.assert_array_equal(buf.view(np.uint8)[: len(bits)], bits)
+    # mapping parity: sparse vs packed input give identical objects
+    mp_a = MappingPipeline(cfg, eng.grid)
+    mp_b = MappingPipeline(cfg, eng.grid)
+    res_a = mp_a.process_sparse(
+        (out.occupancy_sparse_idx, out.occupancy_sparse_words,
+         out.occupancy_sparse_count, out.occupancy_sparse_true,
+         out.occupancy_bits))
+    res_b = mp_b.process_packed(out.occupancy_bits)
+    assert len(res_a.objects) == len(res_b.objects) > 0
+    ca = sorted(tuple(np.round(o.centroid, 6)) for o in res_a.objects)
+    cb = sorted(tuple(np.round(o.centroid, 6)) for o in res_b.objects)
+    assert ca == cb
+    # overflow (cap 1 word) -> dense fallback, same result
+    eng2 = FusionEngine(cfg.replace(occupancy_sparse_capacity=1))
+    for f in range(2):
+        eng2.add_depthmap(0, flat_depth(cfg, 2.0), intr, eye, eye)
+        eng2.add_depthmap(1, flat_depth(cfg, 2.0), intr, tf1, tf1)
+        out2 = eng2.process(now_seconds=1.0 + f * 0.1)
+    assert int(out2.occupancy_sparse_true) > 1
+    mp_c = MappingPipeline(cfg, eng.grid)
+    res_c = mp_c.process_sparse(
+        (out2.occupancy_sparse_idx, out2.occupancy_sparse_words,
+         out2.occupancy_sparse_count, out2.occupancy_sparse_true,
+         out2.occupancy_bits))
+    cc = sorted(tuple(np.round(o.centroid, 6)) for o in res_c.objects)
+    assert cc == ca

@@ -132,10 +132,10 @@ def test_sharded_matches_single_chip():
     # fused (average-mode) points: same set of cell means
     ref_f = np.asarray(single_outs[-1].fused_points)[
         : int(single_outs[-1].fused_count)]
-    n_space = 2
-    blocks = np.asarray(out.fused_points).reshape(n_space, -1, 4)
     fcnt = np.asarray(out.fused_counts)
-    got_f = np.concatenate([blocks[j, : fcnt[j]] for j in range(n_space)])
+    blocks = np.asarray(out.fused_points).reshape(len(fcnt), -1, 4)
+    got_f = np.concatenate(
+        [blocks[j, : fcnt[j]] for j in range(len(fcnt))])
     assert got_f.shape == ref_f.shape
     ref_fs = ref_f[np.lexsort(ref_f.T)]
     got_fs = got_f[np.lexsort(got_f.T)]
