@@ -1188,6 +1188,142 @@ int32_t fh_depth_encode_temporal(
   return B;
 }
 
+// p4 temporal encoder: 4-pixel-group flags + per-row byte-budgeted
+// literal stream with HYSTERESIS quantization (see ops/depth_codec.py
+// module comment for the format and the gather-free decode).
+//
+//   quant/hysteresis: a valid pixel KEEPS its previous bin while
+//     |raw - (prev_q << shift)| <= 2^(shift-1) + hyst (raw units);
+//     error bound q/2 + hyst held, q/2 after a flip.
+//   codes (4 bits): 0..14 = zigzag(delta) for delta in [-7, +7]
+//     (0 = delta 0), 15 = new hole. |delta| > 7 and hole->value
+//     revivals code 0 and ride the exception list (value->hole in a
+//     SPILLED group rides it as zigzag(-prev): prev + delta == 0 is the
+//     hole encoding).
+//   flags: u32[rows * fw], bit g set iff group g got a literal slot
+//     (groups past budget/2 are NOT flagged; their non-zero pixels all
+//     go to exceptions).
+//   lits: u8[rows * budget] row-local 16-bit group literals, 2 bytes
+//     each little-endian (capacity budget/2 groups per row).
+//
+// Returns 0, or -1 when exceptions exceed max_exc (caller sends an
+// I-frame). out_meta: [0] exc count, [1] total literal bytes,
+// [2] spilled groups (diagnostics).
+int32_t fh_depth_encode_p4(
+    const uint16_t* depth, const uint16_t* prev_q, int32_t C, int32_t H,
+    int32_t W, int32_t quant_shift, int32_t hysteresis, int32_t budget,
+    int64_t max_exc, uint32_t* flags, uint8_t* lits, uint16_t* curr_q,
+    uint32_t* exc_idx, uint32_t* exc_zz, int64_t* out_meta) {
+  const int64_t rows = (int64_t)C * H;
+  const int32_t qsh = quant_shift;
+  const int32_t qround = qsh > 0 ? (1 << (qsh - 1)) : 0;
+  const int32_t qmax = 65535 >> qsh;
+  const int32_t band = (qsh > 0 ? (1 << (qsh - 1)) : 0) + hysteresis;
+  const int32_t gw = (W + 3) / 4;
+  const int32_t fw = (gw + 31) / 32;
+  int64_t lit_total = 0, spilled_total = 0;
+  std::vector<std::vector<uint64_t>> exc_parts;
+#pragma omp parallel reduction(+ : lit_total, spilled_total)
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+    const int nth = omp_get_num_threads();
+#else
+    const int tid = 0, nth = 1;
+#endif
+#pragma omp single
+    exc_parts.assign(nth, {});
+    std::vector<uint64_t>& mine = exc_parts[tid];
+    // per-group scratch: codes + pending exceptions of the group
+    uint32_t gexc_idx[4];
+    uint32_t gexc_zz[4];
+#pragma omp for nowait
+    for (int64_t r = 0; r < rows; ++r) {
+      const uint16_t* drow = depth + r * W;
+      const uint16_t* prow = prev_q + r * W;
+      uint16_t* qrow = curr_q + r * W;
+      uint32_t* frow = flags + r * fw;
+      uint8_t* lrow = lits + (int64_t)r * budget;
+      std::memset(frow, 0, (size_t)fw * 4);
+      std::memset(lrow, 0, (size_t)budget);
+      const int32_t gcap = budget / 2;  // 2 bytes per group literal
+      int32_t nlit = 0;                 // groups kept this row
+      for (int32_t g = 0; g < gw; ++g) {
+        uint32_t gword = 0;
+        int32_t gex = 0;
+        const int32_t x0 = g * 4;
+        const int32_t xe = std::min(W, x0 + 4);
+        for (int32_t x = x0; x < xe; ++x) {
+          const int32_t p = prow[x];
+          int32_t d = drow[x];
+          int32_t q;
+          if (d == 0) {
+            q = 0;
+          } else if (p != 0 && std::abs(d - (p << qsh)) <= band) {
+            q = p;  // hysteresis hold
+          } else if (qsh > 0) {
+            q = std::min(qmax, std::max(1, (d + qround) >> qsh));
+          } else {
+            q = d;
+          }
+          qrow[x] = (uint16_t)q;
+          const int32_t delta = q - p;
+          uint32_t code = 0;
+          if (q == 0) {
+            if (p != 0) code = 15;  // new hole (persistent holes code 0)
+          } else if (p != 0 && delta >= -7 && delta <= 7) {
+            code = fh_zigzag(delta);  // 0..14 in-stream
+          } else {
+            // |delta| > 7 (content motion) or hole->value revival
+            const uint32_t zz = fh_zigzag(delta);
+            gexc_idx[gex] = (uint32_t)(r * W + x);
+            gexc_zz[gex] = zz;
+            ++gex;
+          }
+          gword |= code << (4 * (x - x0));
+        }
+        if (gword != 0) {
+          if (nlit < gcap) {
+            lrow[2 * nlit] = (uint8_t)(gword & 0xFF);
+            lrow[2 * nlit + 1] = (uint8_t)(gword >> 8);
+            ++nlit;
+            frow[g >> 5] |= 1u << (g & 31);
+            for (int32_t e = 0; e < gex; ++e)
+              mine.push_back(((uint64_t)gexc_idx[e] << 32) | gexc_zz[e]);
+          } else {
+            // SPILL: group unflagged; every non-zero-code pixel rides
+            // the exception list (holes as zigzag(-prev))
+            ++spilled_total;
+            for (int32_t x = x0; x < xe; ++x) {
+              const int32_t delta = (int32_t)qrow[x] - (int32_t)prow[x];
+              if (delta == 0) continue;
+              mine.push_back(((uint64_t)(r * W + x) << 32)
+                             | fh_zigzag(delta));
+            }
+          }
+        } else {
+          // zero byte: exception-only pixels of an unflagged group
+          for (int32_t e = 0; e < gex; ++e)
+            mine.push_back(((uint64_t)gexc_idx[e] << 32) | gexc_zz[e]);
+        }
+      }
+      lit_total += 2 * nlit;  // bytes
+    }
+  }
+  std::vector<uint64_t> exc;
+  for (auto& p : exc_parts) exc.insert(exc.end(), p.begin(), p.end());
+  if ((int64_t)exc.size() > max_exc) return -1;
+  std::sort(exc.begin(), exc.end());
+  for (size_t i = 0; i < exc.size(); ++i) {
+    exc_idx[i] = (uint32_t)(exc[i] >> 32);
+    exc_zz[i] = (uint32_t)exc[i];
+  }
+  out_meta[0] = (int64_t)exc.size();
+  out_meta[1] = lit_total;
+  out_meta[2] = spilled_total;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // point-sequence staging append (reference addPointSequence copy loop,
 // gpu_depthmap_fusion.cpp:747-796): copy xyz (stride float) with w = 1.

@@ -111,6 +111,22 @@ class FusionConfig:
     depth_link_codec: str = "dpcm"
     depth_codec_keyframe_interval: int = 30
     depth_codec_max_exceptions: int = 8192
+    # p4 P-frames (dpcm_temporal only): with budget L > 0, P-frames use
+    # the sparse 4-pixel-group format — 1 flag bit per group + up to L
+    # literal bytes per row (2-bit codes: delta 0/-1/+1/new-hole; wider
+    # deltas, revivals and over-budget spills ride the exception list;
+    # automatic I fallback on exception overflow). On realistic 30 Hz
+    # streams (static background + fixed pattern noise) this codes
+    # ~0.8-1.0 bits/px instead of the fixed >= 2; decode is gather-free
+    # (one-hot MXU matvec — ops/depth_codec.py). L must be a multiple
+    # of 4. 0 = classic fixed-width P-frames.
+    depth_codec_p4_budget: int = 0
+    # hysteresis quantization for p4 (raw depth units): a valid pixel
+    # keeps its previous bin while |raw - dequant(prev)| <=
+    # 2**(shift-1) + hysteresis — error bound rises to q/2 + hysteresis
+    # but fresh-noise bin flips (the dominant P-frame payload) drop
+    # ~5x at hysteresis ~= 2 sigma_noise.
+    depth_codec_hysteresis: int = 0
     # bounded-loss link quantization: nonzero depths are rounded to
     # multiples of 2**shift before the DPCM (error <= 2**(shift-1) depth
     # units, e.g. <= 2 mm at shift 2 with mm depth — below sensor noise at
@@ -149,6 +165,13 @@ class FusionConfig:
     # measured, e.g. bench.py's mapping loop).
     mapping_detail_min_area: float = 0.0
     max_tracks: int = 128               # static cap for live tracks
+    # emit the dense [num_cells] u8 historic occupancy in FrameOutputs
+    # (reference uints_to_chars download payload). The mapping consumers
+    # use the packed bitmap / sparse words instead; disabling this saves
+    # one full-grid u8 materialization per frame (~1 ms HBM traffic at
+    # the 3.4M-cell deployment grid). FrameOutputs.occupancy_u8 is a
+    # [1]-stub when off.
+    emit_occupancy_u8: bool = True
     # sparse occupancy output for the mapping d2h: the fused step emits
     # the NONZERO 32-bit words of the packed occupancy bitmap as
     # (word_index, word) pairs capped here — at the deployment grid the

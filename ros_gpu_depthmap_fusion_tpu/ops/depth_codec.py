@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -166,6 +167,219 @@ def decode_depth(enc: EncodedDepth, height: int, width: int,
     if return_series:
         return depth.astype(jnp.uint16), series.astype(jnp.uint16)
     return depth.astype(jnp.uint16)
+
+
+# ---------------------------------------------------------------------------
+# "p4" temporal codec: 4-pixel-group flags + per-row byte-budgeted literals
+# ---------------------------------------------------------------------------
+#
+# The classic P-frame codes EVERY pixel at a fixed width even though, on a
+# realistic 30 Hz depth stream (static background + fixed pattern noise +
+# small moving objects), only a few percent of pixels change quantization
+# bin between frames — especially with HYSTERESIS quantization (a pixel
+# keeps its previous bin while the raw depth stays within half a step +
+# `hysteresis` of it; error bound q/2 + hysteresis instead of q/2). The
+# p4 format exploits that sparsity with a layout whose decode needs NO
+# data-dependent gather (XLA:TPU gathers measured 5-27 ms at these sizes,
+# benchmarks/r5_link_probe.py):
+#
+#   flags:    1 bit per 4-pixel group, [rows, ceil(ceil(W/4)/32)] u32 —
+#             set iff the group got a literal slot.
+#   literals: [rows, L] bytes, row-local: row r's flagged groups' 16-bit
+#             literals in order, 2 bytes each little-endian (L = per-row
+#             byte budget, multiple of 4 — capacity L/2 groups; groups
+#             beyond it are NOT flagged and spill their non-zero pixels
+#             to the exception list).
+#   codes:    4 bits/pixel inside a group literal: 0..14 =
+#             zigzag-coded delta in [-7, +7] (0 = delta 0), 15 = new
+#             hole. |delta| > 7 (fast content motion) and hole->value
+#             revivals code 0 and ride the exception list (a value->hole
+#             transition can also ride it as zigzag(-prev): prev + delta
+#             == 0 IS the hole encoding). Persistent holes code delta 0
+#             (0 + 0 == 0 stays a hole). The +-7 in-stream range
+#             matters: a realistic moving object sweeps thousands of
+#             multi-bin deltas per frame along its depth edges — at 2
+#             bits those all burst the exception budget (measured 37k on
+#             the bench scene), at 4 bits they ride in-stream.
+#
+# Decode (static shapes, fully vectorized): unpack flag bits, exclusive
+# per-row prefix over groups (MXU triangular matmul — exact for counts
+# < 2^24), then lit16[r, j] = sum_k onehot(prefix[r, j] == k) *
+# lit[r, k] — a batched [rows, GW, L/2] x [rows, L/2] one-hot matvec on
+# the MXU instead of a gather; 16-bit values < 2^24 are exact in f32.
+
+P4_GROUP = 4
+P4_HOLE = 15   # 4-bit code for a value->hole transition
+
+
+def _p4_geometry(width: int, budget: int):
+    gw = -(-width // P4_GROUP)          # groups per row
+    fw = -(-gw // 32)                   # flag words per row
+    assert budget % 4 == 0 and budget > 0, budget
+    return gw, fw
+
+
+class EncodedDepthP4(NamedTuple):
+    """One p4 P-frame (arrays host or device)."""
+    flags: jnp.ndarray    # [rows, fw] u32/i32 flag words (little-endian bits)
+    lits: jnp.ndarray     # [rows, L // 4] u32/i32 literal bytes packed LE
+    exc_idx: jnp.ndarray  # [cap] int32 flat pixel index
+    exc_zz: jnp.ndarray   # [cap] int32 true zigzag delta
+    exc_count: jnp.ndarray
+
+
+def quantize_hysteresis_reference(depth: np.ndarray, prev_q: np.ndarray,
+                                  quant_shift: int,
+                                  hysteresis: int) -> np.ndarray:
+    """Encoder-side hysteresis quantization: a valid pixel KEEPS its
+    previous bin while |raw - dequant(prev_q)| <= 2^(shift-1) +
+    hysteresis (raw units); otherwise it re-quantizes normally. Error
+    bound: q/2 + hysteresis while held, q/2 after a flip."""
+    d = np.asarray(depth).astype(np.int64)
+    pq = np.asarray(prev_q).astype(np.int64)
+    q_std = quantize_reference(depth, quant_shift).astype(np.int64)
+    if not quant_shift:
+        return q_std.astype(np.uint16)
+    band = (1 << (quant_shift - 1)) + int(hysteresis)
+    hold = (d != 0) & (pq != 0) & (np.abs(d - (pq << quant_shift)) <= band)
+    return np.where(hold, pq, q_std).astype(np.uint16)
+
+
+def encode_depth_p4_reference(depth: np.ndarray, prev_q: np.ndarray,
+                              budget: int, max_exceptions: int,
+                              quant_shift: int = 0,
+                              hysteresis: int = 0):
+    """Reference p4 encoder (vectorized-ish numpy; oracle for the native
+    ``fh_depth_encode_p4``). Returns ``(enc dict, curr_q)`` or ``None``
+    when the exception list overflows (caller sends an I-frame)."""
+    c, h, w = depth.shape
+    rows = c * h
+    gw, fw = _p4_geometry(w, budget)
+    curr_q = quantize_hysteresis_reference(depth, prev_q, quant_shift,
+                                           hysteresis)
+    cq = curr_q.reshape(rows, w).astype(np.int64)
+    pq = np.asarray(prev_q).reshape(rows, w).astype(np.int64)
+    delta = cq - pq
+    new_hole = (cq == 0) & (pq != 0)
+    # in-stream 4-bit code per pixel: zigzag(delta) for |delta| <= 7,
+    # P4_HOLE for value->hole
+    zzs = np.where(delta >= 0, delta << 1, ((-delta) << 1) - 1)
+    code = np.where((np.abs(delta) <= 7) & (cq != 0) & (pq != 0),
+                    zzs, 0).astype(np.uint8)
+    code[new_hole] = P4_HOLE
+    code[(cq == 0) & (pq == 0)] = 0
+    # pixels needing the exception list (code stays 0 there)
+    wide = (np.abs(delta) > 7) & (cq != 0) & (pq != 0)
+    revive = (cq != 0) & (pq == 0)
+    exc_px = wide | revive
+    code[exc_px] = 0
+    # pad width to a group multiple
+    wp = gw * P4_GROUP
+    code_p = np.zeros((rows, wp), np.uint8)
+    code_p[:, :w] = code
+    gcodes = code_p.reshape(rows, gw, P4_GROUP).astype(np.uint32)
+    gbytes = (gcodes << (4 * np.arange(P4_GROUP,
+                                       dtype=np.uint32))).sum(-1)
+    gnz = gbytes != 0
+    gcap = budget // 2          # 2 bytes per group literal
+    flags = np.zeros((rows, fw), np.uint32)
+    lits = np.zeros((rows, budget), np.uint8)
+    exc = []
+    for r in range(rows):
+        nz = np.flatnonzero(gnz[r])
+        kept = nz[:gcap]
+        spilled = nz[gcap:]
+        lits[r, 0: 2 * len(kept): 2] = gbytes[r, kept] & 0xFF
+        lits[r, 1: 2 * len(kept) + 1: 2] = gbytes[r, kept] >> 8
+        for g in kept:
+            flags[r, g // 32] |= np.uint32(1) << np.uint32(g % 32)
+        for g in spilled:
+            for k in range(P4_GROUP):
+                x = g * P4_GROUP + k
+                if x >= w:
+                    break
+                cd = code[r, x]
+                if cd == 0 and not exc_px[r, x]:
+                    continue
+                # every non-zero-code pixel of a spilled group rides the
+                # exception list; holes as zigzag(-prev)
+                d_eff = int(cq[r, x] - pq[r, x])
+                zz = (d_eff << 1) ^ (d_eff >> 63) if d_eff >= 0 else \
+                    ((-d_eff) << 1) - 1
+                exc.append((r * w + x, zz))
+    # wide/revive pixels of KEPT (or unflagged-but-zero-byte) groups
+    for r, x in zip(*np.nonzero(exc_px)):
+        g = x // P4_GROUP
+        if gnz[r, g] and g not in set(np.flatnonzero(gnz[r])[gcap:]):
+            d_eff = int(delta[r, x])
+            zz = (d_eff << 1) if d_eff >= 0 else ((-d_eff) << 1) - 1
+            exc.append((r * w + x, zz))
+        elif not gnz[r, g]:
+            # exception-only group (all other pixels delta 0): unflagged
+            d_eff = int(delta[r, x])
+            zz = (d_eff << 1) if d_eff >= 0 else ((-d_eff) << 1) - 1
+            exc.append((r * w + x, zz))
+    exc.sort()
+    if len(exc) > max_exceptions:
+        return None
+    exc_idx = np.asarray([e[0] for e in exc], np.uint32)
+    exc_zz = np.asarray([e[1] for e in exc], np.uint32)
+    lw = lits.reshape(rows, budget // 4, 4).astype(np.uint32)
+    lit_words = (lw[..., 0] | (lw[..., 1] << 8) | (lw[..., 2] << 16)
+                 | (lw[..., 3] << 24))
+    return dict(flags=flags, lits=lit_words, exc_idx=exc_idx,
+                exc_zz=exc_zz), curr_q
+
+
+def decode_depth_p4(enc: EncodedDepthP4, prev_q: jnp.ndarray,
+                    height: int, width: int, budget: int,
+                    quant_shift: int = 0):
+    """Decode a p4 P-frame (see module comment). Gather-free: the
+    literal lookup is a batched one-hot matvec on the MXU.
+
+    Returns ``(depth_u16, curr_q)``."""
+    rows = enc.flags.shape[0]
+    gw, fw = _p4_geometry(width, budget)
+    n = rows * width
+    # 1. flag bits [rows, gw] — broadcast+shift, no gather (an iota-index
+    # take lowers to a general GATHER on TPU, CLAUDE.md)
+    fwords = enc.flags.astype(jnp.int32)                     # [rows, fw]
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    fl = ((fwords[:, :, None] >> shifts[None, None, :]) & 1) \
+        .reshape(rows, fw * 32)[:, :gw]                      # [rows, gw]
+    # 2. exclusive per-row prefix (triangular MXU matmul; counts < 2^24)
+    pr = _row_cumsum(fl) - fl                                # [rows, gw]
+    # 3. 16-bit group literals [rows, L/2] from packed words
+    lw = enc.lits.astype(jnp.int32)                          # [rows, L/4]
+    hshift = 16 * jnp.arange(2, dtype=jnp.int32)
+    lit16 = ((lw[:, :, None] >> hshift[None, None, :]) & 0xFFFF) \
+        .reshape(rows, budget // 2)                          # [rows, L/2]
+    # 4. one-hot matvec: literal for group (r, j) = lit16[r, pr[r, j]]
+    # (16-bit values < 2^24 stay exact in f32)
+    onehot = ((pr[:, :, None]
+               == jnp.arange(budget // 2, dtype=jnp.int32)[None, None, :])
+              & (fl[:, :, None] > 0)).astype(jnp.float32)
+    g16 = jax.lax.dot_general(
+        onehot, lit16.astype(jnp.float32),
+        (((2,), (1,)), ((0,), (0,)))).astype(jnp.int32)      # [rows, gw]
+    # 5. per-pixel 4-bit codes
+    k = jnp.arange(P4_GROUP, dtype=jnp.int32)
+    codes = ((g16[:, :, None] >> (4 * k)[None, None, :]) & 15)
+    codes = codes.reshape(rows, gw * P4_GROUP)[:, :width]    # [rows, W]
+    # 6. zigzag -> delta, exceptions override, holes
+    is_hole = codes == P4_HOLE
+    zz = jnp.where(is_hole, 0, codes).reshape(-1)
+    target = jnp.where(
+        jnp.arange(enc.exc_idx.shape[0], dtype=jnp.int32) < enc.exc_count,
+        enc.exc_idx.astype(jnp.int32), jnp.int32(n))
+    zz = zz.at[target].set(enc.exc_zz.astype(jnp.int32), mode="drop")
+    delta = (zz >> 1) ^ -(zz & 1)
+    pq = prev_q.reshape(-1).astype(jnp.int32)
+    curr = jnp.where(is_hole.reshape(-1), 0, pq + delta)
+    depth = curr << quant_shift if quant_shift else curr
+    c = prev_q.shape[0]
+    return (depth.astype(jnp.uint16).reshape(c, height, width),
+            curr.astype(jnp.uint16).reshape(c, height, width))
 
 
 # ---------------------------------------------------------------------------

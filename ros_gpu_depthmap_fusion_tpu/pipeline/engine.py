@@ -231,6 +231,13 @@ def fusion_step(state: EngineState,
     else:
         if depth_bits is None:
             depth_u16 = inp.depth
+        elif depth_bits == "p4":
+            # sparse P-frame (4-px-group flags + budgeted literals)
+            from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+                decode_depth_p4)
+            depth_u16, prev_depth_q = decode_depth_p4(
+                inp.depth, state.prev_depth_q, h, w,
+                cfg.depth_codec_p4_budget, cfg.depth_codec_quant_shift)
         elif depth_bits > 0:
             if cfg.depth_link_codec == "dpcm_temporal":
                 depth_u16, prev_depth_q = decode_depth(
@@ -386,7 +393,8 @@ def fusion_step(state: EngineState,
             fresh = scatter_occupancy(cell_ids, live, grid.num_cells)
         historic = update_historic_occupancy(
             state.historic_occupancy, fresh, cfg.voxel_occupancy_lifetime)
-    occupancy_u8 = occupancy_to_u8(historic)
+    occupancy_u8 = (occupancy_to_u8(historic) if cfg.emit_occupancy_u8
+                    else jnp.zeros((1,), jnp.uint8))
 
     new_state = EngineState(
         rollbuffer=rb,
@@ -525,6 +533,7 @@ class FusionEngine:
             self._last_bits = -1  # spatial codec width guess (stable)
         self._depth_host = self._depth_hosts[0]
         self._last_p_bits = -1      # temporal width guess
+        self.last_p4_spilled = 0    # p4 diagnostic: spilled groups
         self._last_frame_bits = None  # signed bits of the latest ENCODED frame
         # signed codec bits of the frame whose outputs the latest
         # process()/flush() call RETURNED (public; in pipelined mode the
@@ -783,7 +792,20 @@ class FusionEngine:
                         or self._frames_since_key
                         >= cfg.depth_codec_keyframe_interval)
             res = None
-            if not keyframe:
+            res4 = None
+            if not keyframe and cfg.depth_codec_p4_budget > 0:
+                # sparse p4 P-frame (always smaller than any I-frame —
+                # no width comparison; exception overflow -> I fallback)
+                res4 = native.depth_encode_p4(
+                    depth_host, self._host_prev_q,
+                    cfg.depth_codec_p4_budget,
+                    cfg.depth_codec_max_exceptions,
+                    out=dict(flags=pkt.p4_flags, lits=pkt.p4_lits,
+                             exc_idx=pkt.exc_idx, exc_zz=pkt.exc_zz),
+                    quant_shift=cfg.depth_codec_quant_shift,
+                    hysteresis=cfg.depth_codec_hysteresis,
+                    curr_q_out=self._host_prev_q_spare)
+            elif not keyframe:
                 res = native.depth_encode_temporal(
                     depth_host, self._host_prev_q,
                     cfg.depth_codec_max_exceptions, allowed_bits=B_BUCKETS,
@@ -797,7 +819,15 @@ class FusionEngine:
                     # and risks staying wide when the scene's spatial
                     # width would have adapted down — fall back
                     res = None
-            if res is not None:
+            if res4 is not None:
+                enc4, curr_q = res4
+                exc_count = int(enc4["exc_count"])
+                self.last_p4_spilled = enc4["spilled"]
+                depth_bits = "p4"
+                self._frames_since_key += 1
+                self._host_prev_q_spare = self._host_prev_q
+                self._host_prev_q = curr_q
+            elif res is not None:
                 enc, p_bits, curr_q = res
                 exc_count = int(enc["exc_count"])
                 self._last_p_bits = p_bits

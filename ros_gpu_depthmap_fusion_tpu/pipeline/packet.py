@@ -87,6 +87,15 @@ class PacketLayout(NamedTuple):
     groups: "tuple | None" = None
     group_exc_caps: "tuple | None" = None
     off_gmeta: int = 0
+    # p4 P-frame tail (bits == "p4"): [rows*fw flag words | rows*(L/4)
+    # literal words]; L = per-row literal byte budget (multiple of 4).
+    # 0 = p4 disabled for this config.
+    p4_budget: int = 0
+
+    def p4_words(self):
+        gw = -(-self.w // 4)
+        fw = -(-gw // 32)
+        return self.rows * fw, self.rows * (self.p4_budget // 4)
 
     @classmethod
     def for_config(cls, cfg: FusionConfig, seq_cap: int,
@@ -125,11 +134,15 @@ class PacketLayout(NamedTuple):
                 ("exc_idx", e), ("exc_zz", e)):
             f["off_" + name] = off
             off += size
+        p4 = int(getattr(cfg, "depth_codec_p4_budget", 0) or 0)
+        if p4:
+            assert groups is None, "p4 P-frames need a homogeneous rig"
+            assert p4 % 4 == 0, p4
         return cls(c=c, h=h, w=w, rows=rows, seq_cap=seq_cap,
                    stage_cap=stage_cap, exc_cap=e, off_tail=off,
                    seq_quant_step=qs, groups=groups,
                    group_exc_caps=group_exc_caps, off_gmeta=off_gmeta,
-                   **f)
+                   p4_budget=p4, **f)
 
     def group_tail_words(self, gi: int, bits: Optional[int]) -> int:
         cg, gh, gw = self.groups[gi]
@@ -144,6 +157,9 @@ class PacketLayout(NamedTuple):
                        for g, b in enumerate(bits))
         if bits is None:  # raw u16 depth pairs
             return (self.rows * self.w + 1) // 2
+        if bits == "p4":  # sparse P-frame: flag words + literal words
+            nf, nl = self.p4_words()
+            return nf + nl
         # negative bits = temporal P-frame at |bits| (same word layout)
         return self.rows * words_per_row(self.w, abs(bits))
 
@@ -199,6 +215,10 @@ class HostPacket:
         self.exc_idx = b[lo.off_exc_idx:lo.off_exc_idx + lo.exc_cap]
         self.exc_zz = b[lo.off_exc_zz:lo.off_exc_zz + lo.exc_cap]
         self.tail = b[lo.off_tail:]
+        if lo.p4_budget:
+            nf, nl = lo.p4_words()
+            self.p4_flags = self.tail[:nf]
+            self.p4_lits = self.tail[nf:nf + nl].view(np.uint8)
 
     def set_scalars(self, exc_count, now_sec, now_nsec, roll_min_sec,
                     roll_min_nsec, num_seq_points, num_seqs,
@@ -282,6 +302,18 @@ def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
             pairs = b[lo.off_tail:lo.off_tail + lo.tail_words(None)]
             depth = unpack_depth_pairs(pairs)[: lo.rows * lo.w].reshape(
                 lo.c, lo.h, lo.w)
+        elif bits == "p4":
+            from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+                EncodedDepthP4)
+            nf, nl = lo.p4_words()
+            fw = nf // lo.rows
+            depth = EncodedDepthP4(
+                flags=_i32(b, lo.off_tail, nf).reshape(lo.rows, fw),
+                lits=_i32(b, lo.off_tail + nf, nl).reshape(
+                    lo.rows, lo.p4_budget // 4),
+                exc_idx=_i32(b, lo.off_exc_idx, lo.exc_cap),
+                exc_zz=_i32(b, lo.off_exc_zz, lo.exc_cap),
+                exc_count=exc_count)
         else:
             wpr = words_per_row(lo.w, abs(bits))
             depth = EncodedDepth(

@@ -116,14 +116,17 @@ class LoopCloser:
         self._pools: List[np.ndarray] = []
         self.edges: List[LoopEdge] = []
 
-    def _verify(self, odo, i: int, j: int) -> Optional[LoopEdge]:
+    def _verify(self, odo, i: int, j: int,
+                min_inliers: Optional[int] = None) -> Optional[LoopEdge]:
+        min_inliers = self.min_inliers if min_inliers is None \
+            else min_inliers
         kf_i, kf_j = odo.keyframes[i], odo.keyframes[j]
         matches = feat.match(kf_i.kps, kf_j.kps)
         idx_a = np.asarray(matches.idx_a)
         idx_b = np.asarray(matches.idx_b)
         mvalid = (np.asarray(matches.valid)
                   & kf_i.has_depth[idx_a] & kf_j.has_depth[idx_b])
-        if int(mvalid.sum()) < self.min_inliers:
+        if int(mvalid.sum()) < min_inliers:
             return None
         src = kf_j.pts_cam[idx_b]
         dst = kf_i.pts_cam[idx_a]
@@ -133,7 +136,7 @@ class LoopCloser:
                           iterations=self.ransac_iterations,
                           inlier_threshold=self.inlier_threshold)
         ni, rmse = int(res.num_inliers), float(res.rmse)
-        if ni < self.min_inliers or rmse > self.max_rmse:
+        if ni < min_inliers or rmse > self.max_rmse:
             return None
         z = np.asarray(res.transform)
         # bounded-correction gate: the edge may disagree with the current
@@ -171,6 +174,90 @@ class LoopCloser:
             self._pools.append(pool)
         return new_edges
 
+    def propagate(self, odo, steps: int = 2) -> List[LoopEdge]:
+        """Closure PROPAGATION: a verified edge (i, j) makes its
+        keyframe neighborhood highly likely to close too — retrieval on
+        repetitive scenes often surfaces only one of several true
+        revisit pairs (the pool sample is ambiguous there), but
+        geometric verification of the NEIGHBORS of a confirmed closure
+        is cheap and precise. Each accepted neighbor goes through the
+        full verification gate (RANSAC + RMSE + bounded correction) at a
+        relaxed inlier count (the confirmed-neighbor prior replaces part
+        of the statistical burden, and the pairwise consistency filter
+        in :func:`close_loops` cross-checks every propagated edge
+        against its confirmed neighbor through the short odometry
+        chain), so propagation raises recall without touching precision.
+        One round over (i+-k, j) and (i, j-+k) for k <= ``steps``."""
+        n = len(odo.keyframes)
+        seen = {(e.i, e.j) for e in self.edges}
+        relaxed = max(12, int(self.min_inliers * 0.6))
+        new_edges: List[LoopEdge] = []
+        for e in list(self.edges):
+            cand = []
+            for k in range(1, steps + 1):
+                cand += [(e.i + k, e.j), (e.i - k, e.j),
+                         (e.i, e.j - k), (e.i, e.j + k),
+                         (e.i + k, e.j - k), (e.i - k, e.j + k)]
+            for i, j in cand:
+                if not (0 <= i < n and 0 <= j < n):
+                    continue
+                if j - i < self.min_gap or (i, j) in seen:
+                    continue
+                edge = self._verify(odo, i, j, min_inliers=relaxed)
+                seen.add((i, j))
+                if edge is not None:
+                    new_edges.append(edge)
+                    self.edges.append(edge)
+        return new_edges
+
+
+def _consistency_filter(edges: List[LoopEdge], poses0: np.ndarray,
+                        span: int = 4, tol_t: float = 0.15,
+                        tol_r: float = 0.08) -> List[LoopEdge]:
+    """Pairwise consistency check (PCM-style): two loop edges whose
+    endpoints are within ``span`` keyframes of each other must agree
+    through the short odometry chain between them (short-span odometry
+    error is centimetres even under drift). A verified-but-degenerate
+    measurement (e.g. an aliased match on repetitive distant structure —
+    RANSAC-happy yet half a metre off) disagrees with the true neighbors
+    and is dropped BEFORE optimization, where it would otherwise pull
+    the whole graph.
+
+    Aliased measurements can be CORRELATED (several neighbors matching
+    the same repeated structure agree with each other), so a simple
+    any-partner vote is not enough: among CONFLICTING edges the heavier
+    consistent group wins, weighted by RANSAC inlier count (true
+    closures re-find the same physical points and carry the larger
+    inlier mass). Edges with no nearby partner pass unchecked."""
+    n = len(edges)
+    if n <= 1:
+        return list(edges)
+    near = np.zeros((n, n), bool)
+    cons = np.zeros((n, n), bool)
+    for a in range(n):
+        for b in range(n):
+            if a == b:
+                continue
+            ea, eb = edges[a], edges[b]
+            if abs(ea.i - eb.i) > span or abs(ea.j - eb.j) > span:
+                continue
+            near[a, b] = True
+            rel_i = np.linalg.inv(poses0[ea.i]) @ poses0[eb.i]
+            rel_j = np.linalg.inv(poses0[ea.j]) @ poses0[eb.j]
+            pred = np.linalg.inv(rel_i) @ ea.z @ rel_j
+            err = np.asarray(se3_log(jnp.asarray(
+                np.linalg.inv(eb.z) @ pred, dtype=np.float32)))
+            cons[a, b] = (np.linalg.norm(err[:3]) <= tol_t
+                          and np.linalg.norm(err[3:]) <= tol_r)
+    inl = np.asarray([e.num_inliers for e in edges], np.float64)
+    weight = inl + (cons * inl[None, :]).sum(axis=1)
+    keep = []
+    for a in range(n):
+        conflicts = near[a] & ~cons[a]
+        if not conflicts.any() or weight[a] >= weight[conflicts].max():
+            keep.append(edges[a])
+    return keep
+
 
 def _edge_residual_norms(poses: np.ndarray, e: LoopEdge):
     err = np.asarray(se3_log(jnp.asarray(
@@ -196,6 +283,7 @@ def close_loops(odo, closer: Optional[LoopCloser] = None,
     """
     closer = closer or LoopCloser()
     closer.observe(odo)
+    closer.propagate(odo)
     n = len(odo.keyframes)
     if n < 2:
         return 0, 0.0
@@ -221,8 +309,9 @@ def close_loops(odo, closer: Optional[LoopCloser] = None,
         solved, chi2 = optimize(graph, iterations=iterations)
         return np.asarray(solved.poses), float(np.asarray(chi2)[-1])
 
-    edges = list(closer.edges)
+    edges = _consistency_filter(list(closer.edges), poses0)
     if not edges:
+        closer.edges = []
         return 0, 0.0
     new_poses, chi2 = solve(edges)
     kept = [e for e in edges
@@ -230,8 +319,13 @@ def close_loops(odo, closer: Optional[LoopCloser] = None,
                 _edge_residual_norms(new_poses, e))]
     if len(kept) != len(edges):
         if not kept:
+            closer.edges = []
             return 0, 0.0
         new_poses, chi2 = solve(kept)
+    # the closer's published edge set is the set the optimization USED
+    # (consistency-filtered + outlier-passed) — retracted measurements
+    # are not part of the map's accepted closures
+    closer.edges = list(kept)
 
     # landmark re-anchoring: move each landmark with its FIRST observing
     # keyframe's correction  p' = T_new T_old^-1 p

@@ -81,6 +81,10 @@ def _load() -> Optional[ctypes.CDLL]:
         u16p, u16p, i32, i32, i32, i64, i32p, i32, i32, i32, u32p, u32p,
         u16p, u32p, u32p, i64p]
     lib.fh_depth_encode_temporal.restype = i32
+    lib.fh_depth_encode_p4.argtypes = [
+        u16p, u16p, i32, i32, i32, i32, i32, i32, i64, u32p, u8p,
+        u16p, u32p, u32p, i64p]
+    lib.fh_depth_encode_p4.restype = i32
     lib.fh_segment_grid.argtypes = [u8p, i32, i32, i32, i32, i32, u16p,
                                     i32p, i32p, i64p, f64p, i32p, i32p]
     lib.fh_segment_grid.restype = i32
@@ -405,6 +409,51 @@ def depth_encode_temporal(depth_u16: np.ndarray, prev_q: np.ndarray,
         row_first=out["row_first"].reshape(c, h),
         exc_idx=out["exc_idx"], exc_zz=out["exc_zz"],
         exc_count=np.int32(meta[0])), bits, curr_q
+
+
+def depth_encode_p4(depth_u16: np.ndarray, prev_q: np.ndarray,
+                    budget: int, max_exceptions: int = 8192,
+                    out=None, quant_shift: int = 0, hysteresis: int = 0,
+                    curr_q_out=None):
+    """p4 P-frame encoder (``fh_depth_encode_p4``): 4-pixel-group flags +
+    per-row byte-budgeted literals with hysteresis quantization (format:
+    ops/depth_codec.py). ``out`` optionally provides C-contiguous
+    ``dict(flags u32[rows*fw], lits u8[rows*budget], exc_idx u32[cap],
+    exc_zz u32[cap])`` destinations (e.g. packet views).
+
+    Returns ``(dict(flags, lits, exc_idx, exc_zz, exc_count, lit_total,
+    spilled), curr_q)`` or ``None`` (native lib missing / exception
+    overflow — caller falls back to an I-frame)."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(depth_u16, np.uint16)
+    p = np.ascontiguousarray(prev_q, np.uint16)
+    c, h, w = d.shape
+    rows = c * h
+    gw = -(-w // 4)
+    fw = -(-gw // 32)
+    if out is None:
+        out = dict(flags=np.zeros(rows * fw, np.uint32),
+                   lits=np.zeros(rows * budget, np.uint8),
+                   exc_idx=np.zeros(max_exceptions, np.uint32),
+                   exc_zz=np.zeros(max_exceptions, np.uint32))
+    curr_q = (curr_q_out if curr_q_out is not None
+              else np.empty((c, h, w), np.uint16))
+    meta = np.zeros(3, np.int64)
+    rc = int(lib.fh_depth_encode_p4(
+        d.reshape(-1), p.reshape(-1), c, h, w, int(quant_shift),
+        int(hysteresis), int(budget), max_exceptions, out["flags"],
+        out["lits"], curr_q.reshape(-1), out["exc_idx"], out["exc_zz"],
+        meta))
+    if rc < 0:
+        return None
+    return dict(
+        flags=out["flags"][: rows * fw].reshape(rows, fw),
+        lits=out["lits"][: rows * budget],
+        exc_idx=out["exc_idx"], exc_zz=out["exc_zz"],
+        exc_count=np.int32(meta[0]), lit_total=int(meta[1]),
+        spilled=int(meta[2])), curr_q
 
 
 def stage_points_xyz(xyz: np.ndarray, out: np.ndarray) -> int:

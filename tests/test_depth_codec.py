@@ -265,3 +265,203 @@ def test_temporal_encoder_rejects_hole_churn():
         curr, quantize_reference(prev, 2), max_exceptions=4,
         allowed_bits=(2, 3, 4), quant_shift=2)
     assert res is None
+
+
+# ---------------------------------------------------------------------------
+# p4 sparse P-frames (round 5)
+# ---------------------------------------------------------------------------
+
+def _p4_scene(rng, C=2, H=16, W=41):
+    u = np.arange(W)[None, None, :]
+    v = np.arange(H)[None, :, None]
+    base = 2000 + 30 * np.sin(u / 5.0) + 20 * np.cos(v / 4.0)
+    pat = rng.normal(0, 6, (C, H, W))
+    holes = rng.random((C, H, W)) < 0.02
+
+    def frame(k):
+        d = base + pat + rng.normal(0, 1, (C, H, W))
+        d[:, 4:9, (3 + 2 * k) % 30:(8 + 2 * k) % 30] += 120
+        d = d.astype(np.uint16)
+        d[holes] = 0
+        churn = rng.random((C, H, W)) < 0.002
+        d[churn] = 0
+        return d
+    return frame
+
+
+def _p4_to_device(enc, cap):
+    ei = np.zeros(cap, np.int32)
+    ez = np.zeros(cap, np.int32)
+    n = len(enc["exc_idx"]) if enc["exc_idx"].ndim else 0
+    ei[:n] = enc["exc_idx"][:n]
+    ez[:n] = enc["exc_zz"][:n]
+    return DC.EncodedDepthP4(
+        jnp.asarray(np.asarray(enc["flags"]).astype(np.int32)),
+        jnp.asarray(np.asarray(enc["lits"]).astype(np.int32)),
+        jnp.asarray(ei), jnp.asarray(ez), jnp.int32(n))
+
+
+@pytest.mark.parametrize("budget", [16, 4])
+def test_p4_reference_roundtrip(budget):
+    """decode(encode) reproduces the encoder's quantized series exactly
+    (budget 4 forces the spill path) and respects the q/2 + hysteresis
+    error bound."""
+    rng = np.random.default_rng(0)
+    frame = _p4_scene(rng)
+    shift, hyst = 3, 2
+    pq = DC.quantize_reference(frame(0), shift)
+    for k in range(1, 4):
+        d = frame(k)
+        res = DC.encode_depth_p4_reference(d, pq, budget, 4096, shift,
+                                           hyst)
+        assert res is not None
+        enc, cq = res
+        e = _p4_to_device(enc, 4096)
+        dd, dq = DC.decode_depth_p4(e, jnp.asarray(pq), 16, 41, budget,
+                                    shift)
+        np.testing.assert_array_equal(np.asarray(dq), cq)
+        np.testing.assert_array_equal(
+            np.asarray(dd), (cq.astype(np.uint32) << shift)
+            .astype(np.uint16))
+        mask = (d != 0) & (cq != 0)
+        err = np.abs((cq.astype(np.int64) << shift)
+                     - d.astype(np.int64))[mask]
+        assert err.max() <= (1 << (shift - 1)) + hyst
+        pq = cq
+
+
+@pytest.mark.skipif(not native.available(), reason="no native library")
+@pytest.mark.parametrize("budget", [16, 4])
+def test_p4_native_matches_reference(budget):
+    rng = np.random.default_rng(1)
+    frame = _p4_scene(rng)
+    shift, hyst = 3, 2
+    pq = DC.quantize_reference(frame(0), shift)
+    for k in range(1, 4):
+        d = frame(k)
+        ref = DC.encode_depth_p4_reference(d, pq, budget, 4096, shift,
+                                           hyst)
+        nat = native.depth_encode_p4(d, pq, budget, 4096,
+                                     quant_shift=shift, hysteresis=hyst)
+        assert (ref is None) == (nat is None)
+        renc, rq = ref
+        nenc, nq = nat
+        np.testing.assert_array_equal(rq, nq)
+        rows = d.shape[0] * d.shape[1]
+        np.testing.assert_array_equal(
+            renc["flags"].reshape(rows, -1), nenc["flags"])
+        nl = nenc["lits"].reshape(rows, budget // 4, 4).astype(np.uint32)
+        nlw = (nl[..., 0] | (nl[..., 1] << 8) | (nl[..., 2] << 16)
+               | (nl[..., 3] << 24))
+        np.testing.assert_array_equal(renc["lits"], nlw)
+        ne = int(nenc["exc_count"])
+        np.testing.assert_array_equal(renc["exc_idx"],
+                                      nenc["exc_idx"][:ne])
+        np.testing.assert_array_equal(renc["exc_zz"], nenc["exc_zz"][:ne])
+        pq = nq
+
+
+def test_p4_exception_overflow_returns_none():
+    rng = np.random.default_rng(2)
+    prev = DC.quantize_reference(
+        rng.integers(800, 4000, (1, 8, 16)).astype(np.uint16), 3)
+    d = ((prev.astype(np.int64) << 3)
+         + rng.integers(-200, 200, prev.shape)).astype(np.uint16)
+    assert DC.encode_depth_p4_reference(d, prev, 4, 3, 3, 0) is None
+    if native.available():
+        assert native.depth_encode_p4(d, prev, 4, 3, quant_shift=3) is None
+
+
+@pytest.mark.skipif(not native.available(), reason="no native library")
+def test_engine_p4_matches_quantized_oracle():
+    """Engine with the p4 temporal codec must be bit-identical to a
+    codec-free engine fed the dequantized series the encoders produced
+    (the codec is lossless w.r.t. its quantized series by construction;
+    keyframe_interval=3 exercises I-frames mid-run)."""
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.pipeline import FusionEngine
+    H, W = 24, 32
+    base = dict(
+        num_depth_streams=2, depth_height=H, depth_width=W,
+        num_point_sequences=1,
+        crop_min=(-5, -5, -5), crop_max=(5, 5, 5),
+        voxel_min=(-5, -5, -5), voxel_max=(5, 5, 5),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=256, rollbuffer_seq_capacity=16,
+        max_points_per_sequence=64, voxel_occupancy_lifetime=3)
+    cfg = FusionConfig(depth_link_codec="dpcm_temporal",
+                       depth_codec_quant_shift=3,
+                       depth_codec_hysteresis=2,
+                       depth_codec_p4_budget=16,
+                       depth_codec_keyframe_interval=3,
+                       depth_codec_max_exceptions=2048, **base)
+    cfg_ref = FusionConfig(depth_link_codec="none", **base)
+    eng = FusionEngine(cfg)
+    ref = FusionEngine(cfg_ref)
+    intr = PinholeIntrinsics.default_for(W, H)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(7)
+    frame = _p4_scene(rng, C=2, H=H, W=W)
+    bits_seen = []
+    for f in range(6):
+        d = frame(f)
+        for i in range(2):
+            eng.add_depthmap(i, d[i], intr, eye, eye)
+        out = eng.process(1.0 + f * 0.1)
+        bits_seen.append(eng.last_frame_bits)
+        # oracle: feed the engine's OWN reconstructed series (encoder
+        # curr_q <<= shift) to a codec-free engine
+        dq = (eng._host_prev_q.astype(np.uint32) << 3).astype(np.uint16)
+        for i in range(2):
+            ref.add_depthmap(i, dq[i], intr, eye, eye)
+        out_r = ref.process(1.0 + f * 0.1)
+        np.testing.assert_array_equal(np.asarray(out.occupancy_u8),
+                                      np.asarray(out_r.occupancy_u8))
+        assert int(out.raw_count) == int(out_r.raw_count)
+    assert "p4" in bits_seen, bits_seen          # p4 actually engaged
+    assert any(isinstance(b, int) and b > 0 for b in bits_seen), bits_seen
+
+
+@pytest.mark.skipif(not native.available(), reason="no native library")
+def test_engine_p4_pipelined_matches_sync():
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.pipeline import FusionEngine
+    H, W = 24, 32
+    kw = dict(
+        num_depth_streams=2, depth_height=H, depth_width=W,
+        num_point_sequences=1,
+        crop_min=(-5, -5, -5), crop_max=(5, 5, 5),
+        voxel_min=(-5, -5, -5), voxel_max=(5, 5, 5),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=256, rollbuffer_seq_capacity=16,
+        max_points_per_sequence=64, voxel_occupancy_lifetime=3,
+        depth_link_codec="dpcm_temporal", depth_codec_quant_shift=3,
+        depth_codec_hysteresis=2, depth_codec_p4_budget=16,
+        depth_codec_keyframe_interval=4,
+        depth_codec_max_exceptions=2048)
+    sync = FusionEngine(FusionConfig(**kw))
+    pipe = FusionEngine(FusionConfig(**kw), pipeline_depth=1)
+    intr = PinholeIntrinsics.default_for(W, H)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(9)
+    frame = _p4_scene(rng, C=2, H=H, W=W)
+    outs_s, outs_p = [], []
+    for f in range(6):
+        d = frame(f)
+        for i in range(2):
+            sync.add_depthmap(i, d[i], intr, eye, eye)
+            pipe.add_depthmap(i, d[i], intr, eye, eye)
+        outs_s.append(sync.process(1.0 + f * 0.1))
+        o = pipe.process(1.0 + f * 0.1)
+        if o is not None:
+            outs_p.append(o)
+    tail = pipe.flush()
+    assert tail is not None
+    outs_p.append(tail)
+    assert len(outs_p) == len(outs_s)
+    for a, b in zip(outs_s, outs_p):
+        np.testing.assert_array_equal(np.asarray(a.occupancy_u8),
+                                      np.asarray(b.occupancy_u8))
+        assert int(a.raw_count) == int(b.raw_count)
