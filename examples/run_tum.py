@@ -28,6 +28,13 @@ def main():
                          "against the previous frame — real slow-moving "
                          "camera streams code 1-2 bits narrower)")
     ap.add_argument("--codec-quant-shift", type=int, default=0)
+    ap.add_argument("--codec-p4-budget", type=int, default=0,
+                    help="enable sparse p4 P-frames (dpcm_temporal "
+                         "only): per-row literal byte budget, 0 = "
+                         "classic fixed-width P-frames")
+    ap.add_argument("--codec-hysteresis", type=int, default=0,
+                    help="p4 hysteresis quantization margin (raw depth "
+                         "units)")
     ap.add_argument("--loop-close", action="store_true",
                     help="detect loop closures + pose-graph optimize "
                          "after the run (slam/loop_closure.py)")
@@ -61,6 +68,8 @@ def main():
                            max_frames=args.max_frames,
                            ba_every=args.ba_every, codec=args.codec,
                            codec_quant_shift=args.codec_quant_shift,
+                           codec_p4_budget=args.codec_p4_budget,
+                           codec_hysteresis=args.codec_hysteresis,
                            loop_close=args.loop_close)
     print(f"frames processed:   {res.frames}")
     print(f"keyframes:          {res.keyframes}")

@@ -61,6 +61,8 @@ def run_tum_sequence(root: str,
                      intensity_from_depth: bool = True,
                      codec: str = "dpcm",
                      codec_quant_shift: int = 0,
+                     codec_p4_budget: int = 0,
+                     codec_hysteresis: int = 0,
                      loop_close: bool = False) -> TumRunResult:
     ds = TumRgbdDataset(root)
     intr = ds.intrinsics
@@ -77,7 +79,9 @@ def run_tum_sequence(root: str,
             rollbuffer_point_capacity=1024,
             max_points_per_sequence=64,
             depth_link_codec=codec,
-            depth_codec_quant_shift=codec_quant_shift)
+            depth_codec_quant_shift=codec_quant_shift,
+            depth_codec_p4_budget=codec_p4_budget,
+            depth_codec_hysteresis=codec_hysteresis)
     engine = FusionEngine(cfg)
     odo = RgbdOdometry(intr, max_keypoints=512, min_inliers=12,
                        inlier_threshold=0.08)
@@ -121,7 +125,7 @@ def run_tum_sequence(root: str,
         fb = engine.last_frame_bits
         if fb is not None:
             codec_bytes.append(4 * engine.layout.total_words(fb))
-            if fb < 0:
+            if fb == "p4" or (isinstance(fb, int) and fb < 0):
                 p_frames += 1
             else:
                 i_frames += 1
