@@ -216,9 +216,17 @@ class RgbdOdometry:
         problem, lm_order, first = built
         solved, chi2s = solve_window(problem, iterations=iterations)
         poses = np.asarray(solved.poses)
+        # diagnostic: how far this BA call moved the latest pose
+        # (divergence forensics — ba_corrections[-1] spikes identify the
+        # window that injected a bad correction)
+        prev_last = self.keyframes[-1].pose[:3, 3].copy()
+        if not hasattr(self, "ba_corrections"):
+            self.ba_corrections = []
         # re-anchor: keep the first window pose fixed at its prior value
         for off, k in enumerate(range(first, len(self.keyframes))):
             self.keyframes[k].pose = poses[off]
+        self.ba_corrections.append(float(np.linalg.norm(
+            self.keyframes[-1].pose[:3, 3] - prev_last)))
         lms = np.asarray(solved.landmarks)
         for i, lm in enumerate(lm_order):
             self.landmarks[int(lm)] = lms[i]
