@@ -150,18 +150,24 @@ def main():
         # visible I-frame (P/I per window in stderr)
         depth_codec_max_exceptions=8192,
         lidar_link_quant_step=0.002,
+        # delta-code the lidar staging (4-bit zigzag deltas, one
+        # u16/point): scan-adjacent points step millimetres, so the
+        # 98 KB u16 section shrinks to ~49 KB incl. the exception
+        # budget; bit-exact vs plain staging (tests/test_packet.py)
+        lidar_link_delta=True,
         # RLE partials bound: the realistic-statistics scene measures a
         # TRUE level-1 run count of 384,709 (pattern noise + persistent
         # holes break raster runs; the staged frames are deterministic so
         # the count is stable; stderr prints it vs this cap every run —
         # the cap is the partials sort's operand size)
-        voxelize_partials_capacity=512 * 1024,
+        voxelize_partials_capacity=448 * 1024,
         # emitted-cell cap sized to the measured steady state (~7.5k
-        # cells touched/frame on this scene, 4.4x headroom; stderr
+        # cells touched/frame on this scene, 2.2x headroom; stderr
         # prints fused_count vs this every run) — the occupancy
         # scatter-max and output compaction scale with the CAP, not the
-        # live count (r4_outcap_probe)
-        voxelize_output_capacity=32768,
+        # live count (r4_outcap_probe; 32k -> 16k = -0.8 ms/step,
+        # r5_step_attrib)
+        voxelize_output_capacity=16384,
         emit_raw_points=False,  # publish-parity: only the voxelized cloud
         # mapping consumes the packed/sparse occupancy; skip the dense u8
         # materialization (~1 ms/frame HBM at 3.4M cells)

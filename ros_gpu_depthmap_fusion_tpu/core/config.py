@@ -140,6 +140,17 @@ class FusionConfig:
     # step that spans +-65 m with error <= 1 mm, an order below lidar
     # range noise. 0 (default) = lossless f32 xyzw staging.
     lidar_link_quant_step: float = 0.0
+    # delta-code the quantized lidar staging (requires quant_step > 0):
+    # per-point per-component 4-bit zigzag deltas in quant steps packed
+    # one u16/point (vs 3 u16), per-sequence raw first points, wider
+    # deltas on a small exception list — 3x fewer lidar link bytes,
+    # BIT-EXACT vs plain u16 staging (lossless in the quantized series).
+    # Decode is gather-free: shift-unpack, exception scatter, two-level
+    # MXU cumsum, per-sequence rebase via a [stage_cap, seq_cap] one-hot
+    # matvec. Sequences whose deltas overflow the exception budget are
+    # TRUNCATED at the first uncovered point (explicit drop policy like
+    # the stage-capacity drop; HostPacket.lidar_dropped counts them).
+    lidar_link_delta: bool = False
 
     # also emit the compacted raw (pre-voxelize) cloud every frame. The
     # reference only builds the cloud it publishes, so pipelines that

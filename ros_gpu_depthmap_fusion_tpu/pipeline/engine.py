@@ -600,6 +600,9 @@ class FusionEngine:
         self._depth_filled = [False] * self.cfg.num_depth_streams
         self._num_seqs = 0
         self._seq_fill = 0
+        if self.layout.lidar_delta:
+            self._pkt.lidar_exc_count = 0
+            self._pkt.lidar_dropped = 0
 
     def add_depthmap(self, slot: int, depth_u16: np.ndarray,
                      intrinsics, tf_world: np.ndarray,
@@ -627,8 +630,52 @@ class FusionEngine:
         if n <= 0 or self._num_seqs >= self._seq_stage_cap:
             return
         pkt = self._pkt
-        sl = slice(self._seq_fill, self._seq_fill + n)
         qs = self.layout.seq_quant_step
+        if self.layout.lidar_delta:
+            # delta-coded staging (core/config.py lidar_link_delta):
+            # 3x4-bit zigzag deltas in one u16/point, raw first point per
+            # sequence, wide deltas on the exception list; sequences are
+            # TRUNCATED at the first point whose exceptions no longer fit
+            # the budget (explicit drop policy, counted)
+            q = np.clip(np.rint(
+                np.asarray(points_xyz[:n], np.float32)[:, :3] / qs
+                + 32768.0), 0, 65535).astype(np.int32)
+            d = np.zeros((n, 3), np.int32)
+            if n > 1:
+                d[1:] = np.diff(q, axis=0)
+            wide = np.abs(d) > 7
+            fill = pkt.lidar_exc_count
+            cap = self.layout.lidar_exc_cap
+            cum = np.cumsum(wide.sum(axis=1))
+            over = fill + cum > cap
+            if over.any():
+                n_new = int(np.argmax(over))
+                pkt.lidar_dropped += n - n_new
+                if n_new <= 0:
+                    return
+                n, q, d, wide = n_new, q[:n_new], d[:n_new], wide[:n_new]
+            sl = slice(self._seq_fill, self._seq_fill + n)
+            zz = np.where(d >= 0, d << 1, ((-d) << 1) - 1)
+            codes = np.where(wide, 0, zz).astype(np.uint16)
+            pkt.seq_points_d[sl] = (codes[:, 0] | (codes[:, 1] << 4)
+                                    | (codes[:, 2] << 8))
+            pkt.seq_first[self._num_seqs] = q[0].astype(np.uint16)
+            ri, ci = np.nonzero(wide)
+            ne = len(ri)
+            if ne:
+                gi = (self._seq_fill + ri) * 3 + ci
+                pkt.lidar_exc_idx[fill:fill + ne] = gi.astype(np.uint32)
+                pkt.lidar_exc_zz[fill:fill + ne] = \
+                    zz[ri, ci].astype(np.uint32)
+                pkt.lidar_exc_count = fill + ne
+            i = self._num_seqs
+            pkt.seq_sec[i], pkt.seq_nsec[i], pkt.seq_count[i] = \
+                sec, nsec, n
+            pkt.seq_tf[i] = np.asarray(tf_move, np.float32)
+            self._num_seqs += 1
+            self._seq_fill += n
+            return
+        sl = slice(self._seq_fill, self._seq_fill + n)
         if qs:
             # 3 x u16 link quantization (error <= qs/2, span +-32768*qs)
             q = np.asarray(points_xyz[:n], np.float32)[:, :3] / qs + 32768.0

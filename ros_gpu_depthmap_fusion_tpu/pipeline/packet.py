@@ -91,6 +91,13 @@ class PacketLayout(NamedTuple):
     # literal words]; L = per-row literal byte budget (multiple of 4).
     # 0 = p4 disabled for this config.
     p4_budget: int = 0
+    # delta-coded lidar staging (cfg.lidar_link_delta): seq_points
+    # becomes one u16/point of 3x4-bit zigzag deltas; adds a per-seq
+    # raw-first section and a lidar exception section. 0 = plain.
+    lidar_delta: int = 0
+    lidar_exc_cap: int = 0
+    off_seq_first: int = 0
+    off_lidar_exc: int = 0
 
     def p4_words(self):
         gw = -(-self.w // 4)
@@ -117,21 +124,35 @@ class PacketLayout(NamedTuple):
         else:
             rows = c * h
         qs = float(getattr(cfg, "lidar_link_quant_step", 0.0) or 0.0)
-        seq_pt_words = (stage_cap * 4 if qs == 0.0
-                        else (stage_cap * 3 + 1) // 2)
-        off = 10
+        ld = int(bool(getattr(cfg, "lidar_link_delta", False)))
+        if ld:
+            assert qs > 0.0, "lidar_link_delta requires lidar_link_quant_step"
+        # exception budget scaled to the staged load (~12% of points may
+        # carry one wide component before truncation kicks in)
+        lecap = max(256, min(2048, stage_cap // 8)) if ld else 0
+        if ld:
+            seq_pt_words = (stage_cap + 1) // 2      # one u16/point
+        elif qs:
+            seq_pt_words = (stage_cap * 3 + 1) // 2
+        else:
+            seq_pt_words = stage_cap * 4
+        off = 11   # header: [0] exc_count, [1..9] scalars, [10] lidar exc
         f = {}
         if groups is not None:
             off_gmeta = off
             off += len(groups)          # per-group exc_count words
-        for name, size in (
-                ("intr", c * 4), ("tf_world", c * 16), ("tf_crop", c * 16),
-                ("tf_world_move", 16), ("tf_crop_move", 16),
-                ("seq_sec", seq_cap), ("seq_nsec", seq_cap),
-                ("seq_count", seq_cap), ("seq_tf", seq_cap * 16),
-                ("seq_points", seq_pt_words),
-                ("row_first", (rows + 1) // 2),
-                ("exc_idx", e), ("exc_zz", e)):
+        sections = [
+            ("intr", c * 4), ("tf_world", c * 16), ("tf_crop", c * 16),
+            ("tf_world_move", 16), ("tf_crop_move", 16),
+            ("seq_sec", seq_cap), ("seq_nsec", seq_cap),
+            ("seq_count", seq_cap), ("seq_tf", seq_cap * 16),
+            ("seq_points", seq_pt_words)]
+        if ld:
+            sections += [("seq_first", (seq_cap * 3 + 1) // 2),
+                         ("lidar_exc", 2 * lecap)]
+        sections += [("row_first", (rows + 1) // 2),
+                     ("exc_idx", e), ("exc_zz", e)]
+        for name, size in sections:
             f["off_" + name] = off
             off += size
         p4 = int(getattr(cfg, "depth_codec_p4_budget", 0) or 0)
@@ -142,7 +163,8 @@ class PacketLayout(NamedTuple):
                    stage_cap=stage_cap, exc_cap=e, off_tail=off,
                    seq_quant_step=qs, groups=groups,
                    group_exc_caps=group_exc_caps, off_gmeta=off_gmeta,
-                   p4_budget=p4, **f)
+                   p4_budget=p4, lidar_delta=ld, lidar_exc_cap=lecap,
+                   **f)
 
     def group_tail_words(self, gi: int, bits: Optional[int]) -> int:
         cg, gh, gw = self.groups[gi]
@@ -200,15 +222,27 @@ class HostPacket:
         self.seq_nsec = i32(lo.off_seq_nsec, lo.seq_cap)
         self.seq_count = i32(lo.off_seq_count, lo.seq_cap)
         self.seq_tf = f32(lo.off_seq_tf, lo.seq_cap * 16, (lo.seq_cap, 4, 4))
-        if lo.seq_quant_step:
+        self.seq_points = self.seq_points_q = self.seq_points_d = None
+        if lo.lidar_delta:
+            nw = (lo.stage_cap + 1) // 2
+            self.seq_points_d = b[lo.off_seq_points:lo.off_seq_points
+                                  + nw].view(np.uint16)[: lo.stage_cap]
+            nf = (lo.seq_cap * 3 + 1) // 2
+            self.seq_first = b[lo.off_seq_first:lo.off_seq_first + nf] \
+                .view(np.uint16)[: lo.seq_cap * 3].reshape(lo.seq_cap, 3)
+            self.lidar_exc_idx = b[lo.off_lidar_exc:
+                                   lo.off_lidar_exc + lo.lidar_exc_cap]
+            self.lidar_exc_zz = b[lo.off_lidar_exc + lo.lidar_exc_cap:
+                                  lo.off_lidar_exc + 2 * lo.lidar_exc_cap]
+            self.lidar_exc_count = 0   # staged per frame by the engine
+            self.lidar_dropped = 0
+        elif lo.seq_quant_step:
             nw = (lo.stage_cap * 3 + 1) // 2
             self.seq_points_q = b[lo.off_seq_points:lo.off_seq_points + nw] \
                 .view(np.uint16)[: lo.stage_cap * 3].reshape(lo.stage_cap, 3)
-            self.seq_points = None
         else:
             self.seq_points = f32(lo.off_seq_points, lo.stage_cap * 4,
                                   (lo.stage_cap, 4))
-            self.seq_points_q = None
         n_rf = (lo.rows + 1) // 2
         self.row_first = b[lo.off_row_first:lo.off_row_first + n_rf].view(
             np.uint16)[: lo.rows]
@@ -230,6 +264,7 @@ class HostPacket:
         self.buf[7:10] = np.array(
             [fp_threshold, fp_max_distance, ps_threshold],
             np.float32).view(np.uint32)
+        self.buf[10] = np.uint32(getattr(self, "lidar_exc_count", 0))
 
     def view(self, bits: Optional[int]) -> np.ndarray:
         return self.buf[: self.layout.total_words(bits)]
@@ -330,7 +365,64 @@ def unpack_packet(packet: jnp.ndarray, layout: PacketLayout,
     pt_iota = jnp.arange(lo.stage_cap, dtype=jnp.int32)
     seq_idx = jnp.sum(pt_iota[:, None] >= ends[None, :],
                       axis=1).astype(jnp.int32)
-    if lo.seq_quant_step:
+    if lo.lidar_delta:
+        # delta-coded lidar staging (config comment in core/config.py):
+        # one u16/point of 3x4-bit zigzag deltas + per-seq raw firsts +
+        # full-range delta exceptions. Gather-free reconstruction:
+        # shift-unpack, exception scatter, two-level MXU cumsum (exact:
+        # |G| <= seq_cap * 65535 < 2^24), one-hot rebase per sequence.
+        from ros_gpu_depthmap_fusion_tpu.ops.depth_codec import (
+            _row_cumsum)
+        HI = jax.lax.Precision.HIGHEST
+        P, S = lo.stage_cap, lo.seq_cap
+        nw = (P + 1) // 2
+        codes16 = unpack_depth_pairs(
+            b[lo.off_seq_points:lo.off_seq_points + nw])[:P] \
+            .astype(jnp.int32)
+        zz = jnp.stack([(codes16 >> (4 * k)) & 15 for k in range(3)],
+                       axis=-1)                               # [P, 3]
+        delta = ((zz >> 1) ^ -(zz & 1)).reshape(-1)           # [P*3]
+        le_cnt = _i32(b, 10, 1)[0]
+        le_idx = _i32(b, lo.off_lidar_exc, lo.lidar_exc_cap)
+        le_zz = _i32(b, lo.off_lidar_exc + lo.lidar_exc_cap,
+                     lo.lidar_exc_cap)
+        tgt = jnp.where(
+            jnp.arange(lo.lidar_exc_cap, dtype=jnp.int32) < le_cnt,
+            le_idx, jnp.int32(P * 3))
+        delta = delta.at[tgt].set((le_zz >> 1) ^ -(le_zz & 1),
+                                  mode="drop").reshape(P, 3)
+        m = -(-P // 128)
+        dpad = jnp.zeros((m * 128, 3), jnp.int32).at[:P].set(delta)
+        rows2 = dpad.reshape(m, 128, 3).transpose(0, 2, 1) \
+            .reshape(m * 3, 128)
+        rc = _row_cumsum(rows2).reshape(m, 3, 128)
+        row_tot = rc[:, :, -1]
+        row_off = jnp.cumsum(row_tot, axis=0) - row_tot
+        big_g = (rc + row_off[:, :, None]).transpose(0, 2, 1) \
+            .reshape(m * 128, 3)[:P]                          # inclusive
+        starts = (ends - seq_count).astype(jnp.int32)
+        onehot_s = (jnp.arange(P, dtype=jnp.int32)[:, None]
+                    == starts[None, :]).astype(jnp.float32)   # [P, S]
+        g_start = jax.lax.dot_general(
+            onehot_s.T, big_g.astype(jnp.float32),
+            (((1,), (0,)), ((), ())), precision=HI)           # [S, 3]
+        nf = (S * 3 + 1) // 2
+        firsts = unpack_depth_pairs(
+            b[lo.off_seq_first:lo.off_seq_first + nf])[: S * 3] \
+            .reshape(S, 3).astype(jnp.float32)
+        base = firsts - g_start                               # [S, 3]
+        onehot_pt = (seq_idx[:, None]
+                     == jnp.arange(S, dtype=jnp.int32)[None, :]) \
+            .astype(jnp.float32)                              # [P, S]
+        q = jax.lax.dot_general(onehot_pt, base,
+                                (((1,), (0,)), ((), ())),
+                                precision=HI) \
+            + big_g.astype(jnp.float32)
+        step = jnp.float32(lo.seq_quant_step)
+        xyz = q * step - jnp.float32(32768.0 * lo.seq_quant_step)
+        seq_points = jnp.concatenate(
+            [xyz, jnp.ones((P, 1), jnp.float32)], axis=-1)
+    elif lo.seq_quant_step:
         nw = (lo.stage_cap * 3 + 1) // 2
         qstream = unpack_depth_pairs(
             b[lo.off_seq_points:lo.off_seq_points + nw])

@@ -128,3 +128,103 @@ def test_lidar_link_quantization_roundtrip():
     d = np.abs(outs[0.0][:, :3] - outs[0.002][:, :3])
     assert d.max() <= 0.001 + 1e-6
     np.testing.assert_array_equal(outs[0.0][:, 3], outs[0.002][:, 3])
+
+
+def test_lidar_delta_staging_matches_plain():
+    """Delta-coded lidar staging (cfg.lidar_link_delta) must be
+    BIT-EXACT vs plain u16-quantized staging: both are lossless in the
+    quantized series, so engine outputs are identical — including
+    sequences with range jumps that ride the exception list."""
+    import numpy as np
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.pipeline import FusionEngine
+    kw = dict(
+        num_depth_streams=1, depth_height=16, depth_width=24,
+        num_point_sequences=2,
+        crop_min=(-8, -8, -8), crop_max=(8, 8, 8),
+        voxel_min=(-8, -8, -8), voxel_max=(8, 8, 8),
+        voxel_size=(0.5, 0.5, 0.5), voxel_occupancy_lifetime=3,
+        rollbuffer_point_capacity=512, rollbuffer_seq_capacity=16,
+        max_points_per_sequence=256, lidar_link_quant_step=0.002,
+        depth_link_codec="none")
+    plain = FusionEngine(FusionConfig(**kw))
+    delta = FusionEngine(FusionConfig(lidar_link_delta=True, **kw))
+    intr = PinholeIntrinsics.default_for(24, 16)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(3)
+    # realistically DENSE arc (real scans step millimetres between
+    # beams): 0.8 m radius over 240 points = ~10 mm steps, inside the
+    # +-7-quanta in-stream range at the 2 mm link step
+    t = np.linspace(0, np.pi, 240)
+    arc = np.stack([0.8 * np.cos(t), 0.8 * np.sin(t),
+                    1 + 0.1 * np.sin(5 * t)], -1).astype(np.float32)
+    jumpy = arc.copy()
+    jumpy[40:45] += np.array([1.5, -0.8, 0.4], np.float32)  # range jumps
+    d = np.full((16, 24), 2000, np.uint16)
+    for f in range(3):
+        for eng in (plain, delta):
+            eng.add_depthmap(0, d, intr, eye, eye)
+            eng.add_point_sequence(arc, sec=1, nsec=f * 33000000,
+                                   tf_move=eye)
+            eng.add_point_sequence(jumpy, sec=1, nsec=f * 33000000 + 1,
+                                   tf_move=eye)
+        o_p = plain.process(1.0 + f / 30.0)
+        o_d = delta.process(1.0 + f / 30.0)
+    np.testing.assert_array_equal(np.asarray(o_d.occupancy_u8),
+                                  np.asarray(o_p.occupancy_u8))
+    assert int(o_d.raw_count) == int(o_p.raw_count) > 0
+    rp = np.asarray(o_p.raw_points)[: int(o_p.raw_count)]
+    rd = np.asarray(o_d.raw_points)[: int(o_d.raw_count)]
+    np.testing.assert_array_equal(rd, rp)
+    assert int(o_d.seq_selected_count) == int(o_p.seq_selected_count) > 0
+    # the seq_points section shrinks 3x (one u16/point instead of
+    # three); at PRODUCTION staging sizes the whole packet shrinks too
+    # (the small-config exception section dominates here)
+    assert ((delta.layout.off_seq_first - delta.layout.off_seq_points) * 3
+            <= (plain.layout.off_row_first
+                - plain.layout.off_seq_points) + 2)
+
+
+def test_lidar_delta_truncates_on_exception_overflow():
+    """A pathological sequence (every point a multi-metre jump) must be
+    truncated at the exception budget with the drop counted — never
+    silently corrupted."""
+    import numpy as np
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    from ros_gpu_depthmap_fusion_tpu.core.camera import PinholeIntrinsics
+    from ros_gpu_depthmap_fusion_tpu.pipeline import FusionEngine
+    cfg = FusionConfig(
+        num_depth_streams=1, depth_height=16, depth_width=24,
+        num_point_sequences=2,
+        crop_min=(-8, -8, -8), crop_max=(8, 8, 8),
+        voxel_min=(-8, -8, -8), voxel_max=(8, 8, 8),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=8192, rollbuffer_seq_capacity=16,
+        max_points_per_sequence=4096, lidar_link_quant_step=0.002,
+        lidar_link_delta=True, depth_link_codec="none")
+    eng = FusionEngine(cfg)
+    intr = PinholeIntrinsics.default_for(24, 16)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-4, 4, (3000, 3)).astype(np.float32)  # all jumps
+    eng.add_depthmap(0, np.full((16, 24), 2000, np.uint16), intr, eye,
+                     eye)
+    eng.add_point_sequence(pts, sec=1, nsec=0, tf_move=eye)
+    pkt = eng._pkt
+    assert pkt.lidar_dropped > 0
+    kept = int(pkt.seq_count[0])
+    assert 0 < kept < 3000
+    assert pkt.lidar_exc_count <= eng.layout.lidar_exc_cap
+    out = eng.process(1.0)
+    # the kept prefix reconstructs exactly: compare against a plain
+    # engine fed only the kept points
+    plain = FusionEngine(FusionConfig(**{**cfg.__dict__,
+                                         "lidar_link_delta": False}))
+    plain.add_depthmap(0, np.full((16, 24), 2000, np.uint16), intr, eye,
+                       eye)
+    plain.add_point_sequence(pts[:kept], sec=1, nsec=0, tf_move=eye)
+    out_p = plain.process(1.0)
+    np.testing.assert_array_equal(np.asarray(out.occupancy_u8),
+                                  np.asarray(out_p.occupancy_u8))
+    assert int(out.raw_count) == int(out_p.raw_count)
