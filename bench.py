@@ -172,10 +172,11 @@ def main():
         # mapping consumes the packed/sparse occupancy; skip the dense u8
         # materialization (~1 ms/frame HBM at 3.4M cells)
         emit_occupancy_u8=False,
-        # mapping d2h payload: nonzero bitmap words as (idx, word) pairs
-        # (~131 KB cap-sized vs the 420 KB dense bitmap; true count is
-        # logged vs this cap every run — overflow falls back to dense)
-        occupancy_sparse_capacity=16384,
+        # mapping d2h payload: nonzero 128-bit bitmap blocks as
+        # (idx, 4 words) rows (~82 KB cap-sized vs the 420 KB dense
+        # bitmap; true count is logged vs this cap every run — overflow
+        # falls back to dense)
+        occupancy_sparse_capacity=4096,
     )
     # pipeline_depth=1: frame k's packet rides the h2d link while step k-1
     # computes (the link is the platform bottleneck)
@@ -461,7 +462,7 @@ def main():
     log(f"mapping warm cycle {time.time() - t0:.2f}s "
         f"({len(res.objects)} objects) phase_ms="
         f"{tuple(round(p, 1) for p in phase) if phase else 'n/a'}"
-        f" (d2h/segment/assemble+track); sparse occupancy words "
+        f" (d2h/segment/assemble+track); sparse occupancy blocks "
         f"true={sp_true} cap={cfg.occupancy_sparse_capacity} "
         f"({'OVERFLOW — dense fallback engaged' if sp_true > cfg.occupancy_sparse_capacity else 'ok'})")
     # the mapping-on loop runs at the reference's 30 Hz DESIGN rate (its

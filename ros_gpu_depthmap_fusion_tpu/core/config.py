@@ -112,14 +112,14 @@ class FusionConfig:
     depth_codec_keyframe_interval: int = 30
     depth_codec_max_exceptions: int = 8192
     # p4 P-frames (dpcm_temporal only): with budget L > 0, P-frames use
-    # the sparse 4-pixel-group format — 1 flag bit per group + up to L
-    # literal bytes per row (2-bit codes: delta 0/-1/+1/new-hole; wider
-    # deltas, revivals and over-budget spills ride the exception list;
-    # automatic I fallback on exception overflow). On realistic 30 Hz
-    # streams (static background + fixed pattern noise) this codes
-    # ~0.8-1.0 bits/px instead of the fixed >= 2; decode is gather-free
-    # (one-hot MXU matvec — ops/depth_codec.py). L must be a multiple
-    # of 4. 0 = classic fixed-width P-frames.
+    # the sparse 4-pixel-group format — 1 flag bit per group + up to L/2
+    # 16-bit group literals per row of 4-bit zigzag codes (deltas to +-7
+    # bins in-stream + new-hole; wider deltas, revivals and over-budget
+    # spills ride the exception list; automatic I fallback on exception
+    # overflow). On realistic 30 Hz streams (static background + fixed
+    # pattern noise) this codes ~1 bit/px instead of the fixed >= 2;
+    # decode is gather-free (one-hot MXU matvec — ops/depth_codec.py).
+    # L must be a multiple of 4. 0 = classic fixed-width P-frames.
     depth_codec_p4_budget: int = 0
     # hysteresis quantization for p4 (raw depth units): a valid pixel
     # keeps its previous bin while |raw - dequant(prev)| <=
@@ -184,12 +184,13 @@ class FusionConfig:
     # [1]-stub when off.
     emit_occupancy_u8: bool = True
     # sparse occupancy output for the mapping d2h: the fused step emits
-    # the NONZERO 32-bit words of the packed occupancy bitmap as
-    # (word_index, word) pairs capped here — at the deployment grid the
-    # bitmap is ~420 KB of which ~99% is zeros, so the mapping consumer's
-    # per-cycle transfer drops ~6-25x (FrameOutputs.occupancy_sparse_*;
-    # count > capacity is the overflow observable and the consumer falls
-    # back to the dense bitmap). 0 = disabled (dense bitmap only).
+    # the NONZERO 128-bit BLOCKS (4 u32 words) of the packed occupancy
+    # bitmap as (block_index, words) rows capped here — at the
+    # deployment grid the bitmap is ~420 KB of which ~99% is zeros, so
+    # the mapping consumer's per-cycle transfer drops ~5-20x
+    # (FrameOutputs.occupancy_sparse_*; count > capacity is the overflow
+    # observable and the consumer falls back to the dense bitmap).
+    # 0 = disabled (dense bitmap only).
     occupancy_sparse_capacity: int = 0
 
     # --- radius filter: params exist in the reference but the filter is

@@ -176,11 +176,12 @@ class MappingPipeline:
                 f"({true_cnt} > {cap}) and no dense fallback was passed")
             return self.process_packed(sparse[4], dt, with_contours)
         iw = np.asarray(idx)[:cnt]
-        wv = np.asarray(words)[:cnt]
+        wv = np.asarray(words)[:cnt]          # [cnt, 4] block words
         t1 = _t.perf_counter()
         n = self.grid.num_cells
         nbytes = -(-n // 8)
-        buf = np.zeros(-(-nbytes // 4), np.uint32)
+        nblocks = -(-nbytes // 16)
+        buf = np.zeros((nblocks, 4), np.uint32)
         buf[iw] = wv.view(np.uint32)
         z, y, x = self.grid.shape_zyx
         occ = np.unpackbits(buf.view(np.uint8)[:nbytes],

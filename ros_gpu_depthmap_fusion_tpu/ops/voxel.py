@@ -67,29 +67,34 @@ def occupancy_bitmap(grid: jnp.ndarray) -> jnp.ndarray:
 
 
 def occupancy_bitmap_sparse(grid: jnp.ndarray, capacity: int):
-    """Sparse form of :func:`occupancy_bitmap`: the NONZERO u32 words of
-    the packed bitmap as (word_index, word) pairs.
+    """Sparse form of :func:`occupancy_bitmap`: the NONZERO 128-bit
+    BLOCKS (4 u32 words = 128 cells) of the packed bitmap as
+    (block_index, 4 words) rows.
 
     At production grids the binarized occupancy is overwhelmingly zero
     (~7-20k occupied of 3.4M cells at the reference's largest deployment
     preset), so the mapping consumer's per-cycle d2h drops from
-    ~num_cells/8 bytes to ~8 bytes per occupied word. Host reconstruction
-    is a trivial indexed store + ``np.unpackbits``
-    (:meth:`mapping.pipeline.MappingPipeline.process_sparse`).
+    ~num_cells/8 bytes to 20 bytes per occupied block. Block (not word)
+    granularity quarters the compact-sort's row count — the sort is the
+    op's whole cost (r5_step_attrib: ~1.1 ms at 105k word rows) — and
+    occupied cells cluster, so the block count stays close to the word
+    count. Host reconstruction is a trivial indexed store +
+    ``np.unpackbits`` (:meth:`mapping.pipeline.MappingPipeline
+    .process_sparse`).
 
-    Returns ``(word_idx [capacity] i32, words [capacity] i32 — u32 bit
-    patterns, count i32 clamped to capacity, true_count i32)``;
-    ``true_count > capacity`` means pairs were dropped (observable
+    Returns ``(block_idx [capacity] i32, words [capacity, 4] i32 — u32
+    bit patterns, count i32 clamped to capacity, true_count i32)``;
+    ``true_count > capacity`` means blocks were dropped (observable
     overflow — consumers fall back to the dense bitmap).
     """
     from ros_gpu_depthmap_fusion_tpu.ops.mask_ops import compact_multi
     packed = occupancy_bitmap(grid)                       # [B] u8
     b = packed.shape[0]
-    nb = -(-b // 4) * 4
-    by = jnp.pad(packed, (0, nb - b)).reshape(-1, 4).astype(jnp.int32)
-    words = (by[:, 0] | (by[:, 1] << 8) | (by[:, 2] << 16)
-             | (by[:, 3] << 24))                          # [W] i32
-    nz = words != 0
+    nb = -(-b // 16) * 16
+    by = jnp.pad(packed, (0, nb - b)).reshape(-1, 4, 4).astype(jnp.int32)
+    words = (by[..., 0] | (by[..., 1] << 8) | (by[..., 2] << 16)
+             | (by[..., 3] << 24))                        # [NB, 4] i32
+    nz = jnp.any(words != 0, axis=1)
     idx = jnp.arange(words.shape[0], dtype=jnp.int32)
     (oi, ow), cnt = compact_multi((idx, words), nz, capacity)
     return oi, ow, cnt, jnp.sum(nz.astype(jnp.int32))

@@ -121,12 +121,12 @@ class FrameOutputs(NamedTuple):
     # and partial rows were dropped this frame. 0 in non-RLE modes.
     vox_partials_count: jnp.ndarray = jnp.int32(0)
     # sparse occupancy (cfg.occupancy_sparse_capacity > 0): the nonzero
-    # u32 words of occupancy_bits as (index, word) pairs + clamped count
-    # + true count (ops.voxel.occupancy_bitmap_sparse) — the mapping
-    # consumer's d2h payload shrinks to ~8 B per occupied word.
-    # [1]-stubs when disabled.
+    # 128-bit BLOCKS of occupancy_bits as (block index, 4 words) rows +
+    # clamped count + true count (ops.voxel.occupancy_bitmap_sparse) —
+    # the mapping consumer's d2h payload shrinks to 20 B per occupied
+    # block. [1]-stubs when disabled.
     occupancy_sparse_idx: jnp.ndarray = jnp.zeros((1,), jnp.int32)
-    occupancy_sparse_words: jnp.ndarray = jnp.zeros((1,), jnp.int32)
+    occupancy_sparse_words: jnp.ndarray = jnp.zeros((1, 4), jnp.int32)
     occupancy_sparse_count: jnp.ndarray = jnp.int32(0)
     occupancy_sparse_true: jnp.ndarray = jnp.int32(0)
 
@@ -154,9 +154,11 @@ def fusion_step(state: EngineState,
                 output_capacity: int):
     """One fused frame step (pure; jit over the static cfg/grid closure).
 
-    ``depth_bits`` is the static bit width of the compressed depth link
-    (``inp.depth`` is then an :class:`EncodedDepth`); ``None`` means raw
-    ``[C, H, W]`` u16 depth."""
+    ``depth_bits`` selects the static depth-link variant: ``None`` = raw
+    ``[C, H, W]`` u16; ``B > 0`` = spatial I-frame at width B (``inp.depth``
+    is an :class:`EncodedDepth`); ``-B`` = classic fixed-width P-frame;
+    ``"p4"`` = sparse p4 P-frame (:class:`EncodedDepthP4`); a tuple =
+    per-group widths of a heterogeneous rig."""
     c = cfg.num_depth_streams
     h, w = cfg.depth_height, cfg.depth_width
     n_depth = cfg.depthmaps_total_elements

@@ -328,12 +328,13 @@ def test_engine_sparse_occupancy_roundtrip_and_mapping():
     cnt = int(out.occupancy_sparse_count)
     true = int(out.occupancy_sparse_true)
     assert 0 < cnt == true <= 64
-    # reconstruct the dense bitmap from the sparse pairs
+    # reconstruct the dense bitmap from the sparse 128-bit blocks
     bits = np.asarray(out.occupancy_bits)
-    buf = np.zeros(-(-len(bits) // 4), np.uint32)
+    buf = np.zeros((-(-len(bits) // 16), 4), np.uint32)
     buf[np.asarray(out.occupancy_sparse_idx)[:cnt]] = np.asarray(
         out.occupancy_sparse_words)[:cnt].view(np.uint32)
-    np.testing.assert_array_equal(buf.view(np.uint8)[: len(bits)], bits)
+    np.testing.assert_array_equal(
+        buf.reshape(-1).view(np.uint8)[: len(bits)], bits)
     # mapping parity: sparse vs packed input give identical objects
     mp_a = MappingPipeline(cfg, eng.grid)
     mp_b = MappingPipeline(cfg, eng.grid)
@@ -346,11 +347,13 @@ def test_engine_sparse_occupancy_roundtrip_and_mapping():
     ca = sorted(tuple(np.round(o.centroid, 6)) for o in res_a.objects)
     cb = sorted(tuple(np.round(o.centroid, 6)) for o in res_b.objects)
     assert ca == cb
-    # overflow (cap 1 word) -> dense fallback, same result
+    # overflow (cap 1 block) -> dense fallback, same result; the two
+    # depth planes sit at different z-layers so the occupied cells span
+    # more than one 128-cell block
     eng2 = FusionEngine(cfg.replace(occupancy_sparse_capacity=1))
     for f in range(2):
         eng2.add_depthmap(0, flat_depth(cfg, 2.0), intr, eye, eye)
-        eng2.add_depthmap(1, flat_depth(cfg, 2.0), intr, tf1, tf1)
+        eng2.add_depthmap(1, flat_depth(cfg, 4.0), intr, tf1, tf1)
         out2 = eng2.process(now_seconds=1.0 + f * 0.1)
     assert int(out2.occupancy_sparse_true) > 1
     mp_c = MappingPipeline(cfg, eng.grid)
@@ -358,5 +361,8 @@ def test_engine_sparse_occupancy_roundtrip_and_mapping():
         (out2.occupancy_sparse_idx, out2.occupancy_sparse_words,
          out2.occupancy_sparse_count, out2.occupancy_sparse_true,
          out2.occupancy_bits))
+    mp_d = MappingPipeline(cfg, eng.grid)
+    res_d = mp_d.process_packed(out2.occupancy_bits)
     cc = sorted(tuple(np.round(o.centroid, 6)) for o in res_c.objects)
-    assert cc == ca
+    cd = sorted(tuple(np.round(o.centroid, 6)) for o in res_d.objects)
+    assert cc == cd and len(cc) > 0
