@@ -142,7 +142,9 @@ def main():
         depth_link_codec="dpcm_temporal",
         depth_codec_p4_budget=48,
         depth_codec_hysteresis=2,
-        depth_codec_keyframe_interval=60,
+        # the hysteresis delta chain is lossless, so keyframes exist for
+        # resync (joiners/packet loss), not quality — 4 s cadence
+        depth_codec_keyframe_interval=120,
         depth_codec_quant_shift=4,
         # measured exceptions 3.5-5.2k/frame steady (deterministic staged
         # frames); 8192 keeps 1.6x headroom and the section is 16 KB
@@ -398,7 +400,10 @@ def main():
     # the median then samples phases instead of landing entirely inside
     # one. Each window logs its own diagnostics (selected lidar points,
     # encode ms) so drift is distinguishable from real degradation.
-    windows, iters, gap_s = 10, 45, 8.0
+    # 12 x 60-frame windows spread over ~3.5 min: tunnel phases last
+    # minutes, so a 2-min spread could sit inside one — more, longer
+    # windows make the median a fairer phase sample
+    windows, iters, gap_s = 12, 60, 12.0
     rates, sel_counts = [], []
     for wd in range(windows):
         h0 = len(proc_ms_hist)
