@@ -493,13 +493,14 @@ def main():
     lagq = deque()
     for f in range(1, map_iters + 1):
         out = run_frame()
-        # mapping consumes 5 of every 9 frames (~16.7 Hz): the full
+        # mapping consumes 3 of every 5 frames (18 Hz ceiling): the full
         # cycle is ~26 ms of HOST work (native CC + assembly + tracking)
         # and this is a 2-core host — mapping at its unthrottled 22
         # cycles/s starved the fusion loop's encode/stage threads below
-        # the 30 Hz pacing target, and a strict 15 Hz duty cycle left no
-        # slack under the >= 15 cycles/s bar (measured 14.6).
-        want_map = (f % 9) % 2 == 0
+        # the 30 Hz pacing target, while tighter duty cycles (15-16.7 Hz)
+        # left no slack under the >= 15 cycles/s bar (measured 14.2-15.9
+        # across tunnel/host phases).
+        want_map = (f % 5) < 3
         if hasattr(out.fused_count, "copy_to_host_async"):
             out.fused_count.copy_to_host_async()
             # prefetch the SPARSE occupancy at ENQUEUE: its d2h (~131 KB

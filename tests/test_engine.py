@@ -366,3 +366,82 @@ def test_engine_sparse_occupancy_roundtrip_and_mapping():
     cc = sorted(tuple(np.round(o.centroid, 6)) for o in res_c.objects)
     cd = sorted(tuple(np.round(o.centroid, 6)) for o in res_d.objects)
     assert cc == cd and len(cc) > 0
+
+
+def test_engine_bench_config_combination_small():
+    """The bench's full link-codec combination at small scale: p4
+    temporal depth + hysteresis + delta-coded lidar + sparse occupancy +
+    no dense u8 — pipelined engine must match the synchronous plain-link
+    engine fed the same reconstructed series (every codec is lossless in
+    its quantized series)."""
+    from ros_gpu_depthmap_fusion_tpu.core.config import FusionConfig
+    kw = dict(
+        num_depth_streams=2, depth_height=24, depth_width=32,
+        num_point_sequences=1,
+        crop_min=(-5, -5, -5), crop_max=(5, 5, 5),
+        voxel_min=(-5, -5, -5), voxel_max=(5, 5, 5),
+        voxel_size=(0.5, 0.5, 0.5),
+        rollbuffer_point_capacity=256, rollbuffer_seq_capacity=16,
+        max_points_per_sequence=64, voxel_occupancy_lifetime=3)
+    full = FusionConfig(
+        depth_link_codec="dpcm_temporal", depth_codec_quant_shift=3,
+        depth_codec_hysteresis=2, depth_codec_p4_budget=16,
+        depth_codec_keyframe_interval=4, depth_codec_max_exceptions=2048,
+        lidar_link_quant_step=0.002, lidar_link_delta=True,
+        occupancy_sparse_capacity=64, emit_occupancy_u8=False, **kw)
+    eng = FusionEngine(full)  # synchronous: the oracle reads encoder state
+    pipe = FusionEngine(full, pipeline_depth=1)
+    ref = FusionEngine(FusionConfig(
+        depth_link_codec="none", lidar_link_quant_step=0.002, **kw))
+    intr = PinholeIntrinsics.default_for(32, 24)
+    eye = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(11)
+    u = np.arange(32)[None, :] + np.zeros((24, 1))
+    t = np.linspace(0, np.pi, 200)
+    arc = np.stack([0.8 * np.cos(t), 0.8 * np.sin(t),
+                    1 + 0.1 * np.sin(5 * t)], -1).astype(np.float32)
+    outs, refs, pouts = [], [], []
+    for f in range(6):
+        d = (2000 + 40 * u + 6 * rng.standard_normal((2, 24, 32))) \
+            .astype(np.uint16)
+        d[rng.random((2, 24, 32)) < 0.01] = 0
+        for i in range(2):
+            eng.add_depthmap(i, d[i], intr, eye, eye)
+            pipe.add_depthmap(i, d[i], intr, eye, eye)
+        eng.add_point_sequence(arc, sec=1, nsec=f * 33000000, tf_move=eye)
+        pipe.add_point_sequence(arc, sec=1, nsec=f * 33000000,
+                                tf_move=eye)
+        outs.append(eng.process(1.0 + f / 30.0))
+        po = pipe.process(1.0 + f / 30.0)
+        if po is not None:
+            pouts.append(po)
+        # oracle: codec-free engine fed the engine's own reconstructed
+        # quantized series (the SYNCHRONOUS engine's encoder state is
+        # the ground truth; the pipelined worker's is a frame ahead)
+        dq = (eng._host_prev_q.astype(np.uint32) << 3).astype(np.uint16)
+        for i in range(2):
+            ref.add_depthmap(i, dq[i], intr, eye, eye)
+        ref.add_point_sequence(arc, sec=1, nsec=f * 33000000, tf_move=eye)
+        refs.append(ref.process(1.0 + f / 30.0))
+    tail = pipe.flush()
+    assert tail is not None
+    pouts.append(tail)
+    assert len(outs) == len(refs) == len(pouts)
+    for a, b, c in zip(refs, outs, pouts):
+        np.testing.assert_array_equal(np.asarray(b.occupancy_bits),
+                                      np.asarray(a.occupancy_bits))
+        assert int(b.raw_count) == int(a.raw_count)
+        assert int(b.seq_selected_count) == int(a.seq_selected_count)
+        # pipelined == synchronous, bit for bit
+        np.testing.assert_array_equal(np.asarray(c.occupancy_bits),
+                                      np.asarray(b.occupancy_bits))
+        assert int(c.raw_count) == int(b.raw_count)
+    # sparse occupancy reconstructs the final bitmap
+    o = outs[-1]
+    cnt = int(o.occupancy_sparse_count)
+    bits = np.asarray(o.occupancy_bits)
+    buf = np.zeros((-(-len(bits) // 16), 4), np.uint32)
+    buf[np.asarray(o.occupancy_sparse_idx)[:cnt]] = np.asarray(
+        o.occupancy_sparse_words)[:cnt].view(np.uint32)
+    np.testing.assert_array_equal(
+        buf.reshape(-1).view(np.uint8)[: len(bits)], bits)
